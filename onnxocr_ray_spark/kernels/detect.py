@@ -1,0 +1,152 @@
+"""Detect stage: score candidate blocks, filter, unclip, emit region boxes.
+
+Structural analog of the reference's DBPostProcess driver
+(`onnxocr/db_postprocess.py:213-235` → threshold → contours → score →
+filter → unclip → minibox → rescale) and the post-detect guards in
+`onnxocr/predict_det.py:64-81` (clip + degenerate filter), re-derived for a
+character-grid layout of HTML blocks:
+
+- binarize analog (``score > det_db_thresh``)       db_postprocess.py:218
+- candidate cap (``max_candidates``)                db_postprocess.py:117
+- region score filter (``>= det_db_box_thresh``)    db_postprocess.py:128-132
+- min-size filter (short side ``>= min_size`` px)   db_postprocess.py:123-137
+- unclip (offset = area*ratio/perimeter)            db_postprocess.py:146-152
+- clip to document bounds                           predict_det.py:64-68
+- degenerate filter (w<=3 or h<=3 px)               predict_det.py:78-81
+
+All arithmetic is plain float; box corners are emitted clockwise from
+top-left, matching the reference's corner canonicalization
+(`predict_det.py:50-62`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from onnxocr_ray_spark.config import ExtractConfig
+from onnxocr_ray_spark.kernels.html import RawBlock, decode_html, tokenize_blocks
+
+Box = Tuple[
+    Tuple[float, float], Tuple[float, float],
+    Tuple[float, float], Tuple[float, float],
+]
+
+
+@dataclass
+class Region:
+    """A detected text region (span) before classification/recognition."""
+
+    box: Box
+    det_score: float
+    raw: str          # inner text carried to the classify/recognize stages
+    order: int        # tokenization order (contour order analog)
+
+
+def content_density(block: RawBlock, cfg: ExtractConfig) -> float:
+    """Content-density score in [0, 1] — the 'probability map' value.
+
+    Boilerplate-stripping heuristic in the Arc90/boilerpipe tradition
+    (text-to-tag ratio with link-text penalty): link characters contribute
+    nothing, each swallowed inline tag costs ``tag_weight`` characters of
+    denominator. Pure content paragraphs score ~1.0; navigation lists of
+    links score ~0.0.
+    """
+    t = float(block.text_chars)
+    l = float(block.link_chars)
+    g = float(block.n_tags)
+    denom = t + cfg.tag_weight * g
+    if denom <= 0.0:
+        return 0.0
+    score = (t - l) / denom
+    if score < 0.0:
+        return 0.0
+    if score > 1.0:
+        return 1.0
+    return score
+
+
+def _block_box(block: RawBlock, cfg: ExtractConfig) -> Tuple[float, float, float, float]:
+    """Axis-aligned extent of a block in pixel coordinates (x0, y0, x1, y1)."""
+    x0 = block.col0 * float(cfg.char_w)
+    y0 = block.line0 * float(cfg.char_h)
+    x1 = x0 + block.width_chars * float(cfg.char_w)
+    y1 = (block.line1 + 1) * float(cfg.char_h)
+    return x0, y0, x1, y1
+
+
+def _unclip(x0: float, y0: float, x1: float, y1: float, ratio: float) -> Tuple[float, float, float, float]:
+    """Offset the rectangle outward by area*ratio/perimeter.
+
+    Rectangular specialization of the polygon offset the reference performs
+    with pyclipper (`db_postprocess.py:146-152`): distance
+    d = A * unclip_ratio / L.
+    """
+    w = x1 - x0
+    h = y1 - y0
+    if w <= 0.0 or h <= 0.0:
+        return x0, y0, x1, y1
+    area = w * h
+    perim = 2.0 * (w + h)
+    d = area * ratio / perim
+    return x0 - d, y0 - d, x1 + d, y1 + d
+
+
+def _clip(v: float, lo: float, hi: float) -> float:
+    return lo if v < lo else hi if v > hi else v
+
+
+def doc_extent(blocks: List[RawBlock], cfg: ExtractConfig) -> Tuple[float, float]:
+    """Document width/height in pixels, from the visible block extents."""
+    w = 0.0
+    h = 0.0
+    for b in blocks:
+        x0, y0, x1, y1 = _block_box(b, cfg)
+        if x1 > w:
+            w = x1
+        if y1 > h:
+            h = y1
+    return max(w, 1.0), max(h, 1.0)
+
+
+def detect_regions(html: Optional[bytes], cfg: ExtractConfig) -> List[Region]:
+    """binary html -> filtered, unclipped, clipped region list.
+
+    Returns [] for empty/undecodable payloads (no-regions early exit,
+    `onnx_paddleocr.py:78-79`).
+    """
+    src = decode_html(html)
+    if src is None:
+        return []
+    blocks = tokenize_blocks(src)
+    if not blocks:
+        return []
+    doc_w, doc_h = doc_extent(blocks, cfg)
+
+    regions: List[Region] = []
+    n_candidates = 0
+    for block in blocks:
+        if n_candidates >= cfg.max_candidates:   # lim_candidates
+            break
+        n_candidates += 1
+        score = content_density(block, cfg)
+        if score <= cfg.det_db_thresh:           # pred_binarize
+            continue
+        if score < cfg.det_db_box_thresh:        # flt_boxscore
+            continue
+        x0, y0, x1, y1 = _block_box(block, cfg)
+        if min(x1 - x0, y1 - y0) < cfg.min_size: # flt_minsize (pre-unclip)
+            continue
+        x0, y0, x1, y1 = _unclip(x0, y0, x1, y1, cfg.det_db_unclip_ratio)
+        if min(x1 - x0, y1 - y0) < cfg.min_size + 2:  # flt_minsize (post)
+            continue
+        # map_clip: clamp into [0, doc_w-1] x [0, doc_h-1]
+        x0 = _clip(x0, 0.0, doc_w - 1.0)
+        x1 = _clip(x1, 0.0, doc_w - 1.0)
+        y0 = _clip(y0, 0.0, doc_h - 1.0)
+        y1 = _clip(y1, 0.0, doc_h - 1.0)
+        if x1 - x0 <= 3.0 or y1 - y0 <= 3.0:     # flt_degenerate
+            continue
+        box: Box = ((x0, y0), (x1, y0), (x1, y1), (x0, y1))
+        regions.append(Region(box=box, det_score=score, raw=block.raw, order=block.order))
+    return regions

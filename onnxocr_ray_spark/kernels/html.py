@@ -1,0 +1,205 @@
+"""HTML decoding and block tokenization (detect-stage preprocessing).
+
+Plays the role of the reference's image decode + preprocess pipeline
+(`app-service.py:78-88` decode; `onnxocr/operators.py:32-175` resize /
+normalize): raw ``html`` bytes become a deterministic list of candidate
+text blocks laid out on a character grid, the "probability map" the
+detect stage then scores and filters (`onnxocr/db_postprocess.py:213-235`).
+
+Design constraints:
+
+- pure Python + stdlib ``re`` only (runs identically inside Spark Arrow
+  batches and in the serial oracle);
+- single forward pass over the source, O(len(html));
+- no ``html.parser`` / bs4 dependence — a small explicit state machine so
+  the behavior is pinned by our own tests, not a library version.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>'\"]|'[^']*'|\"[^\"]*\")*?)(/?)>|<!--.*?-->|<![^>]*>", re.S)
+
+# Block-level elements: crossing one of these flushes the current block.
+BLOCK_TAGS = frozenset(
+    """p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd td th tr thead tbody table
+    article section header footer nav aside main blockquote pre figure
+    figcaption form fieldset hr br title body html head""".split()
+)
+
+# Content inside these is invisible (reference analog: pixels masked out of
+# the probability map before contour extraction).
+SKIP_TAGS = frozenset("script style noscript template svg iframe".split())
+
+# Void elements never push onto the open-tag accounting.
+VOID_TAGS = frozenset("br hr img input meta link area base col embed source track wbr".split())
+
+
+def decode_html(payload: Optional[bytes]) -> Optional[str]:
+    """binary -> str, or None when undecodable/empty.
+
+    Analog of the resize-failure guard: the reference returns "no boxes"
+    when preprocessing yields None (`predict_det.py:105-106`,
+    `imaug.py:8-11`). Strict UTF-8: an invalid byte stream is an
+    undecodable document, not a lossy one.
+    """
+    if payload is None or len(payload) == 0:
+        return None
+    try:
+        return bytes(payload).decode("utf-8", errors="strict")
+    except (UnicodeDecodeError, ValueError):
+        return None
+
+
+@dataclass
+class RawBlock:
+    """One candidate region straight out of tokenization (pre-filtering)."""
+
+    raw: str              # inner text, entities and original whitespace intact
+    line0: int            # first source line containing visible content
+    line1: int            # last source line containing visible content (incl.)
+    col0: int             # source column of the first visible character
+    width_chars: int      # longest visible run length, in characters
+    text_chars: int = 0   # non-whitespace characters (incl. link text)
+    link_chars: int = 0   # non-whitespace characters inside <a>...</a>
+    n_tags: int = 0       # inline tags swallowed within the block
+    order: int = 0        # flush order (contour order analog)
+
+
+class _BlockBuilder:
+    __slots__ = (
+        "parts", "line0", "line1", "col0", "width", "cur_run",
+        "text_chars", "link_chars", "n_tags", "has_payload",
+    )
+
+    def __init__(self) -> None:
+        self.parts: List[str] = []
+        self.line0 = -1
+        self.line1 = -1
+        self.col0 = -1
+        self.width = 0
+        self.cur_run = 0
+        self.text_chars = 0
+        self.link_chars = 0
+        self.n_tags = 0
+        self.has_payload = False  # saw a tag or any char at all inside scope
+
+
+def tokenize_blocks(src: str) -> List[RawBlock]:
+    """Split an HTML document into candidate text blocks on a char grid.
+
+    Geometry: character cell coordinates — ``line`` is the 0-based source
+    line, ``col`` the 0-based column within the line. The detect stage
+    scales these to pixels (config.char_w/char_h), giving each block a
+    quadrilateral box like the reference's contour min-boxes
+    (`db_postprocess.py:154-173`).
+
+    Blocks with tags-but-no-visible-text are emitted with width 0 so the
+    min-size / degenerate filters downstream (`db_postprocess.py:123-125`,
+    `predict_det.py:78-81`) have real work to do.
+    """
+    blocks: List[RawBlock] = []
+    cur = _BlockBuilder()
+    line = 0
+    col = 0
+    skip_depth = 0
+    link_depth = 0
+    pos = 0
+    order = 0
+
+    def advance(text: str) -> None:
+        nonlocal line, col
+        nl = text.count("\n")
+        if nl:
+            line += nl
+            col = len(text) - text.rfind("\n") - 1
+        else:
+            col += len(text)
+
+    def feed_text(text: str) -> None:
+        """Append visible text to the current block, tracking geometry."""
+        nonlocal line, col
+        if skip_depth > 0:
+            advance(text)
+            return
+        for ch in text:
+            if ch == "\n":
+                line += 1
+                col = 0
+                cur.cur_run = 0
+                cur.parts.append("\n")
+                continue
+            if not ch.isspace():
+                if cur.line0 < 0:
+                    cur.line0 = line
+                    cur.col0 = col
+                cur.line1 = line
+                cur.cur_run += 1
+                if cur.cur_run > cur.width:
+                    cur.width = cur.cur_run
+                cur.text_chars += 1
+                if link_depth > 0:
+                    cur.link_chars += 1
+                cur.has_payload = True
+            else:
+                cur.cur_run = 0
+            cur.parts.append(ch)
+            col += 1
+
+    def flush() -> None:
+        nonlocal cur, order
+        if cur.has_payload:
+            raw = "".join(cur.parts).strip("\n")
+            blocks.append(
+                RawBlock(
+                    raw=raw,
+                    line0=cur.line0 if cur.line0 >= 0 else line,
+                    line1=cur.line1 if cur.line1 >= 0 else line,
+                    col0=cur.col0 if cur.col0 >= 0 else col,
+                    width_chars=cur.width,
+                    text_chars=cur.text_chars,
+                    link_chars=cur.link_chars,
+                    n_tags=cur.n_tags,
+                    order=order,
+                )
+            )
+            order += 1
+        cur = _BlockBuilder()
+
+    for m in _TAG_RE.finditer(src):
+        if m.start() > pos:
+            feed_text(src[pos:m.start()])
+        pos = m.end()
+        tag_src = m.group(0)
+        name = m.group(2)
+        if name is None:
+            advance(tag_src)  # comment / doctype
+            continue
+        closing = m.group(1) == "/"
+        name = name.lower()
+        if name in SKIP_TAGS:
+            if closing:
+                skip_depth = max(0, skip_depth - 1)
+            else:
+                skip_depth += 1
+        elif name == "a" and skip_depth == 0:
+            if closing:
+                link_depth = max(0, link_depth - 1)
+            else:
+                link_depth += 1
+                cur.has_payload = True
+                cur.n_tags += 1
+        elif name in BLOCK_TAGS:
+            flush()
+        elif skip_depth == 0:
+            # inline tag swallowed into the current block
+            cur.n_tags += 1
+            cur.has_payload = True
+        advance(tag_src)
+    if pos < len(src):
+        feed_text(src[pos:])
+    flush()
+    return blocks
