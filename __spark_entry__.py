@@ -9,14 +9,39 @@ as you implement operators from SURVEY.md §2.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Make the sibling package importable no matter the driver's cwd, and ship
+# it to executors (the spark-submit --py-files idiom, self-service).
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+
+def _prepare(spark: SparkSession) -> None:
+    from onnxocr_ray_spark.packaging import ship_package
+
+    ship_package(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full three-stage content extraction over a
+    Common-Crawl-style pages table synthesized (deterministically, seeded)
+    from /root/testdata/sf0.001/documents.parquet.
+
+    Returns one row per url with the extracted main content, span count,
+    and sha256 checksum — the north-rule pipeline end to end.
+    """
+    from onnxocr_ray_spark.operators.extract import extract
+    from onnxocr_ray_spark.sources.pages import pages_from_documents
+
+    _prepare(spark)
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    return extract(pages).select("url", "extracted_text", "n_spans", "checksum")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

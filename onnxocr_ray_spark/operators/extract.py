@@ -1,0 +1,320 @@
+"""The three-stage extraction pipeline as Spark DataFrame transformations.
+
+Mirrors the reference's stage boundaries (`app-service.py` endpoints
+/detection /classification /recognition /inference decompose the pipeline
+exactly here; `onnx_paddleocr.py:72-114` composes them) — but the
+architecture is Spark-first, not a translation:
+
+- **detect** is one ``mapInPandas`` over the pages scan. Catalyst prunes
+  the scan to (url, html); AQE sizes the partitions. Batch packing for the
+  recognize stage (the reference's width-argsort + chunks-of-6 with shared
+  padded width, `predict_rec.py:86-107`) is computed HERE, per document,
+  and recorded per span — so every later stage is embarrassingly
+  span-parallel while remaining byte-identical to the serial oracle no
+  matter how spans are re-partitioned (SURVEY.md §4.1.1 determinism
+  coupling, solved structurally).
+- **classify + recognize** run either document-grouped (fast path — zero
+  shuffles end to end) or span-exploded (straggler path for documents
+  whose region count exceeds ``straggler_span_budget`` — two shuffles but
+  unbounded span parallelism). Both paths call the same kernels with the
+  same inputs; a parity test asserts byte-identity between them.
+- **assemble** is pure JVM-side Catalyst expressions (filter / transform /
+  array_join / sha2) — no Python in the final hot path.
+
+At 100 TB: the only required shuffles are the straggler explode/regroup,
+which touches just the heavy tail (a few % of documents). Everything else
+is scan -> narrow mapInPandas -> project, which scales linearly with
+executors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from onnxocr_ray_spark.config import DEFAULT_CONFIG, ExtractConfig
+from onnxocr_ray_spark.kernels.classify import classify_angle, maybe_rotate
+from onnxocr_ray_spark.kernels.pipeline import detect_sorted
+from onnxocr_ray_spark.kernels.recognize import pack_batches, recognize_span
+
+BOX_T = T.ArrayType(T.ArrayType(T.DoubleType()))
+
+DET_SPAN_T = T.StructType(
+    [
+        T.StructField("box", BOX_T),
+        T.StructField("det_score", T.DoubleType()),
+        T.StructField("raw", T.StringType()),
+        T.StructField("batch_id", T.IntegerType()),
+        T.StructField("rec_width", T.IntegerType()),
+    ]
+)
+
+REC_SPAN_T = T.StructType(
+    [
+        T.StructField("box", BOX_T),
+        T.StructField("det_score", T.DoubleType()),
+        T.StructField("angle", T.StringType()),
+        T.StructField("cls_conf", T.DoubleType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("batch_id", T.IntegerType()),
+        T.StructField("rec_width", T.IntegerType()),
+    ]
+)
+
+DETECT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(DET_SPAN_T)),
+        T.StructField("n_regions", T.IntegerType()),
+    ]
+)
+
+REC_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(REC_SPAN_T)),
+    ]
+)
+
+
+def _detect_doc(html: Optional[bytes], cfg: ExtractConfig) -> List[dict]:
+    """One document's detect output: sorted regions + precomputed packing."""
+    regions = detect_sorted(html, cfg)
+    if not regions:
+        return []
+    ratios = []
+    for r in regions:
+        w = r.box[1][0] - r.box[0][0]
+        h = r.box[3][1] - r.box[0][1]
+        ratios.append(w / h if h > 0.0 else 0.0)
+    batch_id, rec_width, _ = pack_batches(
+        ratios, cfg.rec_batch_num, cfg.rec_image_height, cfg.rec_seed_ratio
+    )
+    return [
+        {
+            "box": [list(p) for p in r.box],
+            "det_score": r.det_score,
+            "raw": r.raw,
+            "batch_id": batch_id[i],
+            "rec_width": rec_width[i],
+        }
+        for i, r in enumerate(regions)
+    ]
+
+
+def _chunk_frames(pdf: pd.DataFrame, sizes: pd.Series, budget: int) -> Iterator[pd.DataFrame]:
+    """Dynamic batch coalescing (SURVEY.md §4.3.2): split an Arrow batch at
+    cumulative payload-size boundaries so one huge document doesn't pin a
+    whole batch's worth of output in memory."""
+    if len(pdf) == 0:
+        return
+    acc = 0
+    start = 0
+    for i, sz in enumerate(sizes):
+        acc += int(sz) if sz is not None else 0
+        if acc >= budget and i + 1 > start:
+            yield pdf.iloc[start:i + 1]
+            start = i + 1
+            acc = 0
+    if start < len(pdf):
+        yield pdf.iloc[start:]
+
+
+def detect(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """pages(url, html, ...) -> (url, spans, n_regions).
+
+    Catalyst column-prunes the scan to exactly (url, html); the stage is a
+    narrow transformation (no shuffle).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sizes = pdf["html"].map(lambda h: len(h) if h is not None else 0)
+            for chunk in _chunk_frames(pdf, sizes, cfg.coalesce_target_bytes):
+                spans = [
+                    _detect_doc(bytes(h) if h is not None else None, cfg)
+                    for h in chunk["html"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "url": chunk["url"].values,
+                        "spans": spans,
+                        "n_regions": [len(s) for s in spans],
+                    }
+                )
+
+    return pages.select("url", "html").mapInPandas(gen, schema=DETECT_SCHEMA)
+
+
+def _process_span(raw: str, rec_width: int, cfg: ExtractConfig):
+    """classify -> rotate -> recognize for one span (stage order is
+    load-bearing: predict_cls.py:82-83 feeds predict_rec, SURVEY §4.1.3)."""
+    if cfg.use_angle_cls:
+        label, conf = classify_angle(raw)
+        rotated = maybe_rotate(raw, label, conf, cfg.cls_thresh)
+    else:
+        label, conf, rotated = "0", 1.0, raw
+    text, score = recognize_span(rotated, rec_width)
+    return label, conf, text, score
+
+
+def classify_recognize_grouped(detected: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Fast path: spans stay an array column; narrow mapInPandas, 0 shuffles."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_spans = []
+            for spans in pdf["spans"]:
+                doc = []
+                for s in spans:
+                    label, conf, text, score = _process_span(
+                        s["raw"], int(s["rec_width"]), cfg
+                    )
+                    doc.append(
+                        {
+                            "box": s["box"],
+                            "det_score": s["det_score"],
+                            "angle": label,
+                            "cls_conf": conf,
+                            "text": text,
+                            "score": score,
+                            "batch_id": s["batch_id"],
+                            "rec_width": s["rec_width"],
+                        }
+                    )
+                out_spans.append(doc)
+            yield pd.DataFrame({"url": pdf["url"].values, "spans": out_spans})
+
+    return detected.mapInPandas(gen, schema=REC_DOC_SCHEMA)
+
+
+_SPAN_UDF_T = T.StructType(
+    [
+        T.StructField("angle", T.StringType()),
+        T.StructField("cls_conf", T.DoubleType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def classify_recognize_exploded(detected: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
+                                span_partitions: Optional[int] = None) -> DataFrame:
+    """Straggler path (SURVEY.md §4.3.3): explode spans of heavy documents,
+    classify+recognize at span granularity across the cluster, regroup.
+
+    Byte-identity is preserved because the batch packing (batch_id,
+    rec_width) was fixed at detect time over the whole document — span
+    placement can no longer change what any kernel computes.
+    """
+    spans = detected.select(
+        "url", F.posexplode("spans").alias("ord", "s")
+    )
+    if span_partitions:
+        spans = spans.repartition(span_partitions, "url", "ord")
+
+    @F.pandas_udf(_SPAN_UDF_T)
+    def span_udf(raw: pd.Series, rec_width: pd.Series) -> pd.DataFrame:
+        rows = [
+            _process_span(r, int(w), cfg) for r, w in zip(raw, rec_width)
+        ]
+        return pd.DataFrame(rows, columns=["angle", "cls_conf", "text", "score"])
+
+    done = spans.withColumn("r", span_udf(F.col("s.raw"), F.col("s.rec_width")))
+    span_struct = F.struct(
+        F.col("s.box").alias("box"),
+        F.col("s.det_score").alias("det_score"),
+        F.col("r.angle").alias("angle"),
+        F.col("r.cls_conf").alias("cls_conf"),
+        F.col("r.text").alias("text"),
+        F.col("r.score").alias("score"),
+        F.col("s.batch_id").alias("batch_id"),
+        F.col("s.rec_width").alias("rec_width"),
+    )
+    # regroup: collect spans with their reading-order index, then restore
+    # order JVM-side (sort_array on (ord, span) structs sorts by ord first)
+    return (
+        done.select("url", F.struct(F.col("ord"), span_struct.alias("s")).alias("os"))
+        .groupBy("url")
+        .agg(F.sort_array(F.collect_list("os")).alias("oss"))
+        .select("url", F.expr("transform(oss, x -> x.s)").alias("spans"))
+    )
+
+
+def assemble(recognized: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """drop_score filter + reading-order zip + text join + checksum.
+
+    Pure Catalyst expressions (whole-stage codegen; no Python). The span
+    index is re-numbered over KEPT spans, matching the oracle's
+    ``assemble`` (kernels/pipeline.py) and the reference's zip+filter
+    (`onnx_paddleocr.py:107-112`).
+    """
+    with_kept = recognized.withColumn(
+        "_kept", F.filter(F.col("spans"), lambda s: s["score"] >= F.lit(cfg.drop_score))
+    )
+    final_spans = F.transform(
+        F.col("_kept"),
+        lambda s, i: F.struct(
+            i.cast("int").alias("span_idx"),
+            s["box"].alias("box"),
+            s["det_score"].alias("det_score"),
+            s["angle"].alias("angle"),
+            s["cls_conf"].alias("cls_conf"),
+            s["text"].alias("text"),
+            s["score"].alias("score"),
+            s["batch_id"].alias("batch_id"),
+            s["rec_width"].alias("rec_width"),
+        ),
+    )
+    extracted = F.array_join(F.transform(F.col("_kept"), lambda s: s["text"]), "\n")
+    return with_kept.select(
+        "url",
+        final_spans.alias("spans"),
+        extracted.alias("extracted_text"),
+        F.size("_kept").cast("int").alias("n_spans"),
+        F.sha2(extracted, 256).alias("checksum"),
+    )
+
+
+def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
+            doc_partitions: Optional[int] = None,
+            span_partitions: Optional[int] = None) -> DataFrame:
+    """Full pipeline with straggler routing.
+
+    pages(url, html, ...) -> (url, spans, extracted_text, n_spans, checksum)
+
+    Documents with <= ``straggler_span_budget`` detected regions take the
+    zero-shuffle grouped path; heavier documents are exploded to span
+    granularity. The two branches are unioned before assembly; both
+    produce byte-identical span content by construction (tested).
+    """
+    if doc_partitions:
+        # uniform doc distribution; url hash is effectively a salt because
+        # input files may be ordered by crawl host (skewed localities)
+        pages = pages.repartition(doc_partitions, "url")
+    detected = detect(pages, cfg)
+    # The small/big branch below consumes `detected` twice; persist so the
+    # scan + detect stage runs once. Detect output (text spans) is far
+    # smaller than the html payloads, so MEMORY_AND_DISK is cheap relative
+    # to recomputing detection over the raw corpus.
+    detected = detected.persist()
+    budget = cfg.straggler_span_budget
+    # Zero-region documents (empty/undecodable payloads) bypass the Python
+    # stages entirely: nothing to classify/recognize, and an Arrow batch of
+    # all-empty array<struct> columns segfaults pyarrow's arrow_to_pandas
+    # in this environment — routing them JVM-side is both faster and safe.
+    empty = detected.filter(F.col("n_regions") == 0).select(
+        "url", F.from_json(F.lit("[]"), T.ArrayType(REC_SPAN_T)).alias("spans")
+    )
+    small = detected.filter(
+        (F.col("n_regions") > 0) & (F.col("n_regions") <= budget)
+    ).drop("n_regions")
+    big = detected.filter(F.col("n_regions") > budget).drop("n_regions")
+    rec_small = classify_recognize_grouped(small, cfg)
+    rec_big = classify_recognize_exploded(big, cfg, span_partitions=span_partitions)
+    return assemble(rec_small.unionByName(rec_big).unionByName(empty), cfg)

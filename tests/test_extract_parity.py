@@ -1,0 +1,75 @@
+"""Spark-vs-oracle byte-identity (the north-rule invariant).
+
+The distributed pipeline must produce byte-identical ``extracted_text``
+per url to the single-process oracle, regardless of partitioning,
+batching, or which straggler path a document takes (SURVEY.md §4.1, §5).
+"""
+
+import duckdb
+import pytest
+
+from onnxocr_ray_spark.config import DEFAULT_CONFIG, ExtractConfig
+from onnxocr_ray_spark.operators.extract import extract
+from onnxocr_ray_spark.oracle import extract_serial
+from onnxocr_ray_spark.sources.pages import pages_from_documents, pages_local
+
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def oracle_results():
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{SF0001}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    return extract_serial(pages_local(rows))
+
+
+def _collect_spark(spark, cfg, doc_partitions=None):
+    pages = pages_from_documents(spark, SF0001)
+    out = extract(pages, cfg, doc_partitions=doc_partitions)
+    rows = out.select("url", "extracted_text", "n_spans", "checksum").collect()
+    spark.catalog.clearCache()
+    return {r["url"]: r for r in rows}
+
+
+def _assert_parity(spark_rows, oracle_results):
+    assert set(spark_rows) == set(oracle_results)
+    mismatches = [
+        u
+        for u in oracle_results
+        if spark_rows[u]["extracted_text"] != oracle_results[u].extracted_text
+    ]
+    assert mismatches == [], f"{len(mismatches)} urls differ, e.g. {mismatches[:3]}"
+    for u in oracle_results:
+        assert spark_rows[u]["checksum"] == oracle_results[u].checksum
+        assert spark_rows[u]["n_spans"] == oracle_results[u].n_spans
+
+
+def test_spark_matches_oracle(spark, oracle_results):
+    _assert_parity(_collect_spark(spark, DEFAULT_CONFIG), oracle_results)
+
+
+def test_parity_survives_repartitioning(spark, oracle_results):
+    _assert_parity(
+        _collect_spark(spark, DEFAULT_CONFIG, doc_partitions=13), oracle_results
+    )
+
+
+def test_parity_all_docs_through_straggler_path(spark, oracle_results):
+    """Force every document through the span-exploded path: results must be
+    byte-identical to the grouped path / oracle (SURVEY.md §4.3.3)."""
+    cfg = ExtractConfig(straggler_span_budget=0)
+    _assert_parity(_collect_spark(spark, cfg), oracle_results)
+
+
+def test_flagship_has_content(spark):
+    pages = pages_from_documents(spark, SF0001)
+    out = extract(pages)
+    row = (
+        out.filter("n_spans > 0")
+        .orderBy("url")
+        .select("url", "extracted_text")
+        .first()
+    )
+    assert row is not None and len(row["extracted_text"]) > 0
+    spark.catalog.clearCache()
