@@ -45,19 +45,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data extension set). See onnxocr_ray_spark/registry.py.
     """
-    return {}
+    from onnxocr_ray_spark.registry import load_all
+
+    def wrap(q):
+        def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return q.fn(spark, sf_dir)
+
+        fn.__name__ = q.name
+        fn.__doc__ = q.doc
+        return fn
+
+    return {name: wrap(q) for name, q in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle per query; non-SQL-expressible ops are omitted and
+    get the driver's rows-only check (extract_e2e / extract_spans /
+    mm_decode_features — their correctness gate is the oracle parity
+    pytest suite instead)."""
+    from onnxocr_ray_spark.registry import load_all
+
+    return {name: q.sql for name, q in load_all().items() if q.sql is not None}

@@ -1,0 +1,136 @@
+"""Multimodal binary-payload plumbing.
+
+Images/audio/video at corpus scale are opaque ``binary`` columns with
+typed metadata; the Spark-side contract (schema, partitioning, Arrow
+batch shape, UDF signatures) is real and tested, while the actual codec
+calls are stubbed behind import-tries (cv2/PIL/librosa are not in this
+container) with a deterministic fake so pipelines can be exercised end
+to end (build brief: "make the Spark-side plumbing real and tested").
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from onnxocr_ray_spark.functions import portable_md5
+from onnxocr_ray_spark.registry import register
+from onnxocr_ray_spark.sources.tables import load_table
+
+try:  # pragma: no cover - not present in this container
+    import cv2  # type: ignore
+
+    HAVE_CV2 = True
+except ImportError:
+    HAVE_CV2 = False
+
+
+# --- payload metadata: pure Column exprs, oracle-checked ---
+
+@register(
+    "mm_payload_meta",
+    sql="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           lower(hex((substr(text, 1, 4))::BLOB)) AS magic,
+           md5(text) AS payload_hash
+    FROM documents
+    """,
+    doc="multimodal op: opaque binary payload metadata (size, magic bytes, content hash)",
+)
+def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.lower(F.hex(F.substring(F.col("text"), 1, 4).cast("binary"))).alias("magic"),
+        portable_md5(F.col("text")).alias("payload_hash"),
+    )
+
+
+# --- decode / feature-extract plumbing (mapInPandas, deterministic fake) ---
+
+MM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _decode_image_real(payload: bytes):  # pragma: no cover
+    """Real decode path — requires cv2; swapped in automatically when the
+    executor image has it. I/O contract identical to the fake."""
+    if not HAVE_CV2:
+        raise NotImplementedError(
+            "image decode requires cv2; this container runs the deterministic fake"
+        )
+    import numpy as np
+
+    arr = cv2.imdecode(np.frombuffer(payload, dtype="uint8"), cv2.IMREAD_COLOR)
+    return arr
+
+
+def _decode_image_fake(payload: bytes):
+    """Deterministic stand-in: derives a fake (h, w, c) geometry and an
+    8-bucket byte histogram 'feature' from the payload bytes alone."""
+    n = len(payload)
+    w = 16 + (n % 64)
+    h = 16 + ((n // 64) % 64)
+    hist = [0] * 8
+    for by in payload[:4096]:
+        hist[by >> 5] += 1
+    total = max(sum(hist), 1)
+    return h, w, 3, [round(v / total, 6) for v in hist]
+
+
+def mm_decode_features(pages_like: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """binary payload column -> typed feature rows via Arrow-batched
+    mapInPandas (the multimodal decode/feature-extract plumbing)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_bytes": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "feature": [],
+                "decoder": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                h, w, c, feat = _decode_image_fake(data)
+                out["doc_id"].append(int(doc_id))
+                out["n_bytes"].append(len(data))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["feature"].append(feat)
+                out["decoder"].append("fake" if not HAVE_CV2 else "cv2")
+            yield pd.DataFrame(out)
+
+    return pages_like.mapInPandas(gen, schema=MM_FEATURE_SCHEMA)
+
+
+@register(
+    "mm_decode_features",
+    sql=None,  # python UDF path; driver records rows-only check
+    doc="multimodal op: decode + feature-extract plumbing over binary payloads (deterministic fake decoder; cv2 drop-in)",
+)
+def mm_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return mm_decode_features(docs)

@@ -1,0 +1,139 @@
+"""Embedding similarity search over the ``embeddings`` table.
+
+- brute-force cosine top-k (the correctness baseline), and
+- sign-LSH bucketed ANN (the scale path: bucket by the sign pattern of
+  leading dimensions, search only the query's bucket).
+
+Cosine is computed with an explicit left-to-right double accumulation on
+both engines (functions.cosine_sim ↔ DuckDB list_sum/list_transform) and
+rounded before any threshold/ordering so the driver's value-hash agrees.
+
+Embedding near-dup (the dedup-family member) also lives here:
+``dedup_embed_cosine``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onnxocr_ray_spark.functions import cosine_sim
+from onnxocr_ray_spark.registry import register
+from onnxocr_ray_spark.sources.tables import load_table
+
+_COS_SQL = """list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x))))"""
+
+_E_SQL = "SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings"
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+@register(
+    "ann_topk_cosine",
+    sql=f"""
+    WITH e AS ({_E_SQL}),
+    q AS (SELECT v FROM e WHERE vec_id = 0)
+    SELECT a.vec_id, round({_COS_SQL.replace('b.v', 'q.v')}, 6) AS cos
+    FROM e a, q
+    WHERE a.vec_id <> 0
+    ORDER BY cos DESC, a.vec_id
+    LIMIT 10
+    """,
+    doc="training-data op: brute-force cosine top-k similarity search (baseline for ANN)",
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+_BUCKET_SQL = (
+    "array_to_string([CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END for i in range(1, 7)], '')"
+)
+
+
+@register(
+    "ann_lsh_bucket",
+    sql=f"""
+    WITH e AS ({_E_SQL}),
+    eb AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+    q AS (SELECT v, bucket FROM eb WHERE vec_id = 0)
+    SELECT a.vec_id, a.bucket, round({_COS_SQL.replace('b.v', 'q.v')}, 6) AS cos
+    FROM eb a JOIN q ON a.bucket = q.bucket
+    WHERE a.vec_id <> 0
+    ORDER BY cos DESC, a.vec_id
+    LIMIT 5
+    """,
+    doc="training-data op: sign-LSH bucketed ANN (search only the query's hyperplane-sign bucket)",
+)
+def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    bucket = F.array_join(
+        F.transform(
+            F.slice(F.col("v"), 1, 6),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+    eb = e.select("vec_id", "v", bucket.alias("bucket"))
+    q = eb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        eb.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(cosine_sim(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
+    "dedup_embed_cosine",
+    sql=f"""
+    WITH e AS ({_E_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+           round({_COS_SQL}, 6) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_COS_SQL}, 6) >= 0.3
+    """,
+    doc="training-data op: embedding-cosine near-dup pairs with label blocking",
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    cos = F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "label", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+    )

@@ -1,0 +1,191 @@
+"""Text-analysis operators for a training-data pipeline over ``documents``.
+
+Language-ID (marker n-gram heuristic), quality scoring, token counting,
+and document fingerprinting — each a pure Column-expression query (JVM
+codegen, no Python) with a DuckDB oracle. These extend the reference's
+surface (SURVEY.md §2 has no corpus analytics) per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onnxocr_ray_spark.functions import count_occurrences, portable_md5
+from onnxocr_ray_spark.registry import register
+from onnxocr_ray_spark.sources.tables import load_table
+
+# marker words per language for the n-gram heuristic (padded with spaces so
+# the replace-length occurrence count only hits whole words)
+_LANG_MARKERS = {
+    "en": [" the ", " a "],
+    "es": [" el ", " la "],
+    "de": [" der ", " und "],
+    "fr": [" le ", " et "],
+    "zh": [" 的 ", " 是 "],
+}
+
+
+def _padded(col):
+    return F.concat(F.lit(" "), F.lower(F.trim(col)), F.lit(" "))
+
+
+# --- token counting ---
+
+@register(
+    "text_tokens",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+           END AS n_tokens,
+           length(text) AS n_chars_txt
+    FROM documents
+    """,
+    doc="training-data op: token counting via the replace-length identity (whitespace tokenizer)",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.length("text").alias("n_chars_txt"),
+    )
+
+
+# --- quality scoring ---
+
+@register(
+    "text_quality",
+    sql="""
+    SELECT doc_id,
+           round(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                 / greatest(length(text), 1)::DOUBLE, 6) AS alpha_ratio,
+           round((length(text) - length(replace(text, ' ', '')))
+                 / greatest(length(text), 1)::DOUBLE, 6) AS space_ratio,
+           round(least((length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+                       / 100.0, 1.0)
+                 * 0.5
+                 + length(regexp_replace(text, '[^a-z]', '', 'g'))
+                   / greatest(length(text), 1)::DOUBLE * 0.5, 6) AS quality
+    FROM documents
+    """,
+    doc="training-data op: quality scoring from length/space/alpha ratios",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    length = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    t = F.trim(F.col("text"))
+    tokens = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    quality = F.least(tokens / 100.0, F.lit(1.0)) * 0.5 + alpha / length * 0.5
+    return docs.select(
+        "doc_id",
+        F.round(alpha / length, 6).alias("alpha_ratio"),
+        F.round(spaces / length, 6).alias("space_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+# --- language identification ---
+
+def _langid_scores_sql() -> str:
+    cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        parts = [
+            f"cast((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS INT)"
+            for m in markers
+        ]
+        cols.append(" + ".join(parts) + f" AS s_{lang}")
+    return ", ".join(cols)
+
+
+@register(
+    "text_langid",
+    sql=f"""
+    WITH p AS (
+      SELECT doc_id, ' ' || lower(trim(text)) || ' ' AS p FROM documents
+    ), s AS (
+      SELECT doc_id, {_langid_scores_sql()} FROM p
+    )
+    SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM s
+    """,
+    doc="training-data op: language-ID via marker-word n-gram scores + deterministic argmax",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = _padded(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        *[
+            sum(count_occurrences(p, m) for m in markers).alias(f"s_{lang}")
+            for lang, markers in _LANG_MARKERS.items()
+        ],
+    )
+    s = {l: F.col(f"s_{l}") for l in _LANG_MARKERS}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return scored.withColumn("lang_pred", pred)
+
+
+# --- document fingerprinting ---
+
+@register(
+    "text_fingerprint",
+    sql="""
+    SELECT doc_id,
+           substr(md5(lower(trim(text))), 1, 16) AS fp,
+           md5(lang || '|' || lower(trim(text))) AS fp_salted
+    FROM documents
+    """,
+    doc="training-data op: document fingerprint via content hash (rolling-hash analog: dedup.py minhash sig0)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.substring(portable_md5(norm), 1, 16).alias("fp"),
+        portable_md5(F.concat(F.col("lang"), F.lit("|"), norm)).alias("fp_salted"),
+    )
+
+
+# --- corpus stats ---
+
+@register(
+    "doc_stats_by_lang",
+    sql="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="training-data op: corpus profile per language",
+)
+def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

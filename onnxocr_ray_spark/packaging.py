@@ -12,6 +12,7 @@ the driver's cwd.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -21,22 +22,31 @@ from pyspark.sql import SparkSession
 _SHIPPED_FLAG = "_onnxocr_ray_spark_shipped"
 
 
+def _pkg_files(pkg_dir: str):
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                yield os.path.join(root, fn)
+
+
 def package_zip_path() -> str:
-    """Create (once per process) a zip of the onnxocr_ray_spark package."""
+    """Create a zip of the onnxocr_ray_spark package, named by content
+    digest so edits to the package invalidate previously shipped zips."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    out = os.path.join(tempfile.gettempdir(), "onnxocr_ray_spark_pyfiles.zip")
+    digest = hashlib.md5()
+    for full in _pkg_files(pkg_dir):
+        digest.update(full.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    out = os.path.join(
+        tempfile.gettempdir(), f"onnxocr_ray_spark_pyfiles_{digest.hexdigest()[:12]}.zip"
+    )
     if not os.path.exists(out):
-        tmp = out + ".tmp"
+        tmp = out + f".tmp{os.getpid()}"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in sorted(files):
-                    if not fn.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fn)
-                    rel = os.path.join(
-                        "onnxocr_ray_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, rel)
+            for full in _pkg_files(pkg_dir):
+                rel = os.path.join("onnxocr_ray_spark", os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
         os.replace(tmp, out)
     return out
 

@@ -1,0 +1,39 @@
+"""Every oracle-backed registry query must match DuckDB exactly —
+the same comparison the driver's correctness gate performs, run at
+sf0.001 so mismatches surface before the driver sees them."""
+
+import pytest
+
+from onnxocr_ray_spark.registry import load_all
+
+from tests.conftest import SF0001
+from tests.oracle_check import compare_frames, duckdb_conn
+
+QUERIES = load_all()
+ORACLE_NAMES = sorted(n for n, q in QUERIES.items() if q.sql is not None)
+ROWS_ONLY_NAMES = sorted(n for n, q in QUERIES.items() if q.sql is None)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb_conn(SF0001)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = QUERIES[name]
+    spark_pdf = q.fn(spark, SF0001).toPandas()
+    duck_pdf = duck.sql(q.sql).df()
+    assert len(spark_pdf) > 0, f"{name}: empty result (degenerate query)"
+    diff = compare_frames(spark_pdf, duck_pdf)
+    assert diff is None, f"{name}: {diff}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_queries_run(spark, name):
+    q = QUERIES[name]
+    df = q.fn(spark, SF0001)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
