@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+Timing excludes session startup; each query is materialized with the
+noop sink (full execution, no driver-side result pull — except top-k
+queries whose result is tiny by construction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "extract_e2e",          # flagship three-stage extraction
+    "q1_pricing",
+    "q3_revenue",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_topk_cosine",
+    "sessionize",
+    "text_quality",
+    "window_hourly",
+]
+
+
+def materialize(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from onnxocr_ray_spark.session import get_spark
+    from onnxocr_ray_spark.registry import load_all
+    from onnxocr_ray_spark.packaging import ship_package
+
+    spark = get_spark(
+        app_name="onnxocr_ray_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    ship_package(spark)
+    queries = load_all()
+
+    # count docs once for the throughput figure (outside timed sections)
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+
+    # Warm the JVM (codegen/JIT) and the Python worker pool once, so the
+    # timings below measure the queries, not first-run compilation.
+    warm = queries["q1_pricing"].fn(spark, sf_dir)
+    materialize(warm)
+
+    timings = {}
+    for name in HEADLINE:
+        q = queries[name]
+        best = None
+        for _rep in range(2):
+            df = q.fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            materialize(df)
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    extract_sec = timings.get("extract_e2e", 0.0) or 1e-9
+    out = {
+        "metric": "headline query wall-clock (full pipeline + corpus operators)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "docs": n_docs,
+        "extract_docs_per_sec": round(n_docs / extract_sec, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from onnxocr_ray_spark.operators.extract import extract
 from onnxocr_ray_spark.registry import register
-from onnxocr_ray_spark.sources.pages import pages_from_documents
+from onnxocr_ray_spark.sources.pages import pages_table
 
 
 @register(
@@ -23,7 +23,7 @@ from onnxocr_ray_spark.sources.pages import pages_from_documents
     doc="flagship: full detect->classify->recognize->assemble extraction (src_base64..flt_dropscore composition; oracle parity in pytest)",
 )
 def extract_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_table(spark, sf_dir)
     return extract(pages).select("url", "extracted_text", "n_spans", "checksum")
 
 
@@ -33,7 +33,7 @@ def extract_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="flagship detail: exploded span rows (sort_boxes order, zip_boxrec alignment, per-span scores)",
 )
 def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_table(spark, sf_dir)
     out = extract(pages)
     return out.select(
         "url", F.explode("spans").alias("s")

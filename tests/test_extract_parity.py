@@ -24,9 +24,13 @@ def oracle_results():
     return extract_serial(pages_local(rows))
 
 
-def _collect_spark(spark, cfg, doc_partitions=None):
+def _collect_spark(spark, cfg, doc_partitions=None, straggler_html_bytes=256 << 10):
     pages = pages_from_documents(spark, SF0001)
-    out = extract(pages, cfg, doc_partitions=doc_partitions)
+    out = extract(
+        pages, cfg,
+        doc_partitions=doc_partitions,
+        straggler_html_bytes=straggler_html_bytes,
+    )
     rows = out.select("url", "extracted_text", "n_spans", "checksum").collect()
     spark.catalog.clearCache()
     return {r["url"]: r for r in rows}
@@ -56,10 +60,12 @@ def test_parity_survives_repartitioning(spark, oracle_results):
 
 
 def test_parity_all_docs_through_straggler_path(spark, oracle_results):
-    """Force every document through the span-exploded path: results must be
-    byte-identical to the grouped path / oracle (SURVEY.md §4.3.3)."""
-    cfg = ExtractConfig(straggler_span_budget=0)
-    _assert_parity(_collect_spark(spark, cfg), oracle_results)
+    """Force every non-empty document through the span-exploded path:
+    results must be byte-identical to the fused path / oracle
+    (SURVEY.md §4.3.3)."""
+    _assert_parity(
+        _collect_spark(spark, DEFAULT_CONFIG, straggler_html_bytes=0), oracle_results
+    )
 
 
 def test_flagship_has_content(spark):
