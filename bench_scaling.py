@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling bench (north-rule criterion).
+
+The rule requires throughput scaling efficiency >= 0.8 from N to 4N
+executors; no real cluster exists in this sandbox, so per the driver
+instruction we run the SAME extraction job at two local parallelism
+levels (default local[8] vs local[32]) over the SAME materialized pages
+table and report docs/sec at both plus
+``efficiency = (T_N / T_4N) / (4N / N)``.
+
+Each level runs in its OWN subprocess (fresh JVM — no shared JIT/caches);
+within a level the job runs ``--reps`` times and the best time is used
+(this VM has bursty CPU throttling). The corpus is sf0.1 documents
+fanned out ``--copies`` times (deterministic synth) so the parallel
+region dominates fixed startup costs, as a real corpus would.
+
+Usage: python bench_scaling.py            # orchestrates both levels
+       python bench_scaling.py --worker 8 # one level (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "20"))
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "8"))
+HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "32"))
+
+
+def run_level(cpus: int) -> dict:
+    from onnxocr_ray_spark.operators.extract import extract
+    from onnxocr_ray_spark.session import get_spark
+    from onnxocr_ray_spark.sources.pages import pages_table
+
+    spark = get_spark(
+        app_name=f"scaling_bench_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    pages = pages_table(spark, SF_DIR, copies=COPIES)
+    n_docs = pages.count()
+    out = extract(pages)
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out.write.mode("overwrite").format("noop").save()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "cpus": cpus,
+        "docs": n_docs,
+        "times": [round(t, 2) for t in times],
+        "best_sec": round(best, 3),
+        "docs_per_sec": round(n_docs / best, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.worker:
+        print(json.dumps(run_level(args.worker)))
+        return
+
+    # materialize the pages cache once so both levels just scan parquet
+    from onnxocr_ray_spark.session import get_spark
+    from onnxocr_ray_spark.sources.pages import pages_table
+
+    spark = get_spark(app_name="scaling_prep", master="local[32]")
+    pages_table(spark, SF_DIR, copies=COPIES)
+    spark.stop()
+
+    # This VM throttles CPU in bursts (minutes-long windows where system
+    # time dominates). Alternate the two levels across ROUNDS of fresh
+    # subprocesses and take the per-level minimum, so both levels get a
+    # shot at a clean window and a single bad window cannot invert the
+    # comparison.
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    results = {LOW: None, HIGH: None}
+    for _ in range(rounds):
+        for cpus in (LOW, HIGH):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            prev = results[cpus]
+            if prev is None or r["best_sec"] < prev["best_sec"]:
+                results[cpus] = r
+            else:
+                prev["times"].extend(r["times"])
+
+    lo, hi = results[LOW], results[HIGH]
+    speedup = lo["best_sec"] / hi["best_sec"]
+    efficiency = speedup / (HIGH / LOW)
+    summary = {
+        "metric": "extraction throughput scaling efficiency (N -> 4N cores)",
+        "low": lo,
+        "high": hi,
+        "speedup": round(speedup, 3),
+        "efficiency": round(efficiency, 3),
+        "pass": efficiency >= 0.8,
+        "sf_dir": SF_DIR,
+        "copies": COPIES,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

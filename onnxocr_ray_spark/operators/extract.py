@@ -365,7 +365,7 @@ def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     # partition is empty, so 32 near-empty partitions x 2 Python stages
     # costs more than the actual straggler work.
     parallelism = pages.sparkSession.sparkContext.defaultParallelism
-    big_pages = pages.filter(is_big).repartition(max(4, parallelism // 8), "url")
+    big_pages = pages.filter(is_big).repartition(max(4, parallelism // 2), "url")
     big = detect(big_pages, cfg).drop("n_regions")
     rec_big = classify_recognize_exploded(big, cfg, span_partitions=span_partitions)
     return assemble(rec_small.unionByName(rec_big), cfg)

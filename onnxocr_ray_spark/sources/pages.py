@@ -145,12 +145,17 @@ PAGES_SCHEMA = T.StructType(
 )
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_from_documents(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     """documents parquet -> pages DataFrame, synthesized executor-side.
 
     Uses ``mapInPandas`` so the (potentially large) html payloads are
     produced inside executors, Arrow batch by Arrow batch — the driver
-    never holds the table. Deterministic per doc_id.
+    never holds the table. Deterministic per (doc_id, copy).
+
+    ``copies > 1`` fans each document out into ``copies`` distinct
+    deterministic page variants (different synthetic doc ids, hence
+    different urls/boilerplate/edge buckets) — used to scale the corpus
+    for throughput/scaling benchmarks without external data.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     # the driver-generated parquet is a single file -> one input partition;
@@ -161,23 +166,31 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "url": [page_url(int(d), l) for d, l in zip(pdf.doc_id, pdf.lang)],
-                    "warc_ts": [page_ts(int(d)).replace(tzinfo=None) for d in pdf.doc_id],
-                    "html": [
-                        synth_page(int(d), t if isinstance(t, str) else "", l)
-                        for d, t, l in zip(pdf.doc_id, pdf.text, pdf.lang)
-                    ],
-                    "text": pdf.text,
-                    "lang": pdf.lang,
-                }
-            )
+            for c in range(copies):
+                ids = [int(d) + c * 10_000_019 for d in pdf.doc_id]
+                yield pd.DataFrame(
+                    {
+                        "url": [
+                            page_url(i, l) for i, l in zip(ids, pdf.lang)
+                        ],
+                        "warc_ts": [
+                            page_ts(i).replace(tzinfo=None) for i in ids
+                        ],
+                        "html": [
+                            synth_page(i, t if isinstance(t, str) else "", l)
+                            for i, t, l in zip(ids, pdf.text, pdf.lang)
+                        ],
+                        "text": pdf.text,
+                        "lang": pdf.lang,
+                    }
+                )
 
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
-def pages_table(spark: SparkSession, sf_dir: str, cache_root: str = None) -> DataFrame:
+def pages_table(
+    spark: SparkSession, sf_dir: str, cache_root: str = None, copies: int = 1
+) -> DataFrame:
     """Materialized pages table (the north-rule input shape: an
     Iceberg/parquet table of Common-Crawl-style pages).
 
@@ -191,11 +204,11 @@ def pages_table(spark: SparkSession, sf_dir: str, cache_root: str = None) -> Dat
     import tempfile
 
     cache_root = cache_root or os.path.join(tempfile.gettempdir(), "onnxocr_pages_cache")
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{copies}".encode()).hexdigest()[:12]
     path = os.path.join(cache_root, f"pages_{key}.parquet")
     if not os.path.exists(path):
         tmp = f"{path}.tmp{os.getpid()}"
-        pages_from_documents(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        pages_from_documents(spark, sf_dir, copies=copies).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
