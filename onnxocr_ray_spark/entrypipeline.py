@@ -28,6 +28,24 @@ def extract_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "detection_only",
+    sql=None,
+    doc="partial pipeline (POST /detection analog, app-service.py:172-223): detect + reading-order sort, boxes only",
+)
+def detection_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onnxocr_ray_spark.operators.extract import detect
+
+    pages = pages_table(spark, sf_dir)
+    det = detect(pages)
+    return det.select(
+        "url",
+        "n_regions",
+        F.expr("transform(spans, s -> s.box)").alias("boxes"),
+        F.expr("transform(spans, s -> round(s.det_score, 6))").alias("det_scores"),
+    )
+
+
+@register(
     "extract_spans",
     sql=None,
     doc="flagship detail: exploded span rows (sort_boxes order, zip_boxrec alignment, per-span scores)",

@@ -13,11 +13,16 @@ architecture is Spark-first, not a translation:
   span-parallel while remaining byte-identical to the serial oracle no
   matter how spans are re-partitioned (SURVEY.md §4.1.1 determinism
   coupling, solved structurally).
-- **classify + recognize** run either document-grouped (fast path — zero
-  shuffles end to end) or span-exploded (straggler path for documents
-  whose region count exceeds ``straggler_span_budget`` — two shuffles but
-  unbounded span parallelism). Both paths call the same kernels with the
-  same inputs; a parity test asserts byte-identity between them.
+- the production ``extract()`` routes documents by a cheap JVM-side
+  ``length(html)`` pre-pass: typical documents take ``extract_fused``
+  (ALL three stages in one mapInPandas — zero shuffles, one Arrow
+  crossing); heavy-tail documents take detect -> span-explode ->
+  recognize -> regroup so one giant page cannot straggle a task. The
+  stage-separated forms (``detect``, ``classify_recognize_grouped``,
+  ``classify_recognize_exploded``) remain public — they are the
+  /detection /classification /recognition endpoint analogs. All paths
+  call the same kernels with the same inputs; parity tests assert
+  byte-identity between them.
 - **assemble** is pure JVM-side Catalyst expressions (filter / transform /
   array_join / sha2) — no Python in the final hot path.
 
@@ -32,7 +37,7 @@ from __future__ import annotations
 from typing import Iterator, List, Optional
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -333,7 +338,7 @@ def extract_fused(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> Data
 def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
             doc_partitions: Optional[int] = None,
             span_partitions: Optional[int] = None,
-            straggler_html_bytes: int = 8 << 10) -> DataFrame:
+            straggler_html_bytes: int = 1 << 20) -> DataFrame:
     """Full pipeline with straggler routing.
 
     pages(url, html, ...) -> (url, spans, extracted_text, n_spans, checksum)
@@ -358,12 +363,20 @@ def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
         pages = pages.repartition(doc_partitions, "url")
     pages = pages.select("url", "html")
     is_big = F.length("html") > straggler_html_bytes
+    # Cheap eager probe: a pushed-filter scan with LIMIT 1 tells us whether
+    # ANY straggler exists. When none does (the common case for a healthy
+    # corpus slice), the whole branch — two extra Python stages plus two
+    # shuffles of nothing — is elided from the plan. The probe costs one
+    # short-circuiting scan; the branch it saves costs ~1s of empty-
+    # partition worker round-trips per job at high parallelism.
+    has_big = pages.filter(is_big).limit(1).count() > 0
+    if not has_big:
+        return assemble(extract_fused(pages, cfg), cfg)
     rec_small = extract_fused(pages.filter(~is_big | F.col("html").isNull()), cfg)
     # The straggler branch handles the heavy TAIL — few documents by
     # definition. Coalesce it to a handful of partitions: every chained
     # Python stage pays a worker round-trip per partition even when the
-    # partition is empty, so 32 near-empty partitions x 2 Python stages
-    # costs more than the actual straggler work.
+    # partition is near-empty.
     parallelism = pages.sparkSession.sparkContext.defaultParallelism
     big_pages = pages.filter(is_big).repartition(max(4, parallelism // 2), "url")
     big = detect(big_pages, cfg).drop("n_regions")

@@ -1,0 +1,86 @@
+"""Physical-plan regression guards.
+
+These pin the plan properties the engine's scale story depends on
+(SURVEY.md §4.3): column pruning into the parquet scan, predicate
+pushdown, broadcast joins for selective dims, and a bounded number of
+shuffles in the extraction pipeline. A refactor that silently breaks one
+of these fails here long before it shows up as a 100 TB regression.
+"""
+
+import pytest
+
+from onnxocr_ray_spark.operators.extract import extract
+from onnxocr_ray_spark.registry import load_all
+from onnxocr_ray_spark.sources.pages import pages_table
+
+from tests.conftest import SF0001
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return load_all()
+
+
+def test_q1_scan_prunes_and_pushes(spark, queries):
+    plan = plan_of(queries["q1_pricing"].fn(spark, SF0001))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # only the 7 referenced columns are read
+    assert "l_quantity" in scan and "l_shipdate" in scan
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+    # the shipdate predicate reaches the scan
+    assert "l_shipdate" in scan.split("DataFilters")[-1]
+
+
+def test_q3_uses_broadcast_joins(spark, queries):
+    plan = plan_of(queries["q3_revenue"].fn(spark, SF0001))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_keepkeys_pushes_filter(spark, queries):
+    plan = plan_of(queries["proj_keepkeys"].fn(spark, SF0001))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "(p_size" in scan and ">= 10)" in scan
+    assert "p_retailprice" not in scan  # pruned
+
+
+def test_extract_scan_pruned_to_url_html(spark, queries):
+    plan = plan_of(extract(pages_table(spark, SF0001)))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans, "no parquet scan found"
+    for scan in scans:
+        cols = scan.split("FileScan parquet [")[1].split("]")[0]
+        names = {c.split("#")[0] for c in cols.split(",")}
+        assert names <= {"url", "html"}, f"scan reads extra columns: {names}"
+
+
+def test_extract_routing_filter_reaches_scan_when_stragglers_exist(spark, queries):
+    # force the straggler branch with a 0-byte threshold: the routing
+    # predicate must be evaluated at the parquet scan, not later
+    plan = plan_of(extract(pages_table(spark, SF0001), straggler_html_bytes=0))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("length(html" in s for s in scans)
+
+
+def test_extract_elides_straggler_branch_when_none(spark, queries):
+    # default 1 MB threshold, no straggler in this corpus: the plan must
+    # contain NO exchanges and no span-explode machinery at all
+    plan = plan_of(extract(pages_table(spark, SF0001)))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan  # posexplode absent
+
+
+def test_extract_has_bounded_shuffles(spark, queries):
+    plan = plan_of(extract(pages_table(spark, SF0001)))
+    # fused fast path is shuffle-free; only the straggler branch may
+    # exchange (repartition + regroup) plus at most one more for the union
+    assert plan.count("Exchange") <= 4, plan
+
+
+def test_ann_topk_broadcasts_query_vector(spark, queries):
+    plan = plan_of(queries["ann_topk_cosine"].fn(spark, SF0001))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
