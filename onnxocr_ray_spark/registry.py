@@ -48,6 +48,7 @@ def load_all() -> Dict[str, Query]:
         dedup,
         multimodal,
         relational,
+        relational2,
         similarity,
         textstats,
     )
