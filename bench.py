@@ -92,6 +92,23 @@ def main() -> None:
         "docs": n_docs,
         "extract_docs_per_sec": round(n_docs / extract_sec, 2),
     }
+    # embed the latest two-cluster-size scaling evidence (written by
+    # bench_scaling.py; methodology + hardware calibration in
+    # BENCH/BASELINE.md)
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            s = json.load(fh)
+        out["scaling"] = {
+            "low_cpus": s["low"]["cpus"],
+            "high_cpus": s["high"]["cpus"],
+            "low_docs_per_sec": s["low"]["docs_per_sec"],
+            "high_docs_per_sec": s["high"]["docs_per_sec"],
+            "efficiency": s["efficiency"],
+            "pass": s["pass"],
+        }
     print(json.dumps(out))
 
 

@@ -114,6 +114,13 @@ def main() -> None:
         "sf_dir": SF_DIR,
         "copies": COPIES,
     }
+    # persist for bench.py to embed in the per-round record
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        json.dump(summary, fh)
     print(json.dumps(summary))
 
 

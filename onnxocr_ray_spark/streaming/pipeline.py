@@ -56,6 +56,97 @@ def extract_stream(
     )
 
 
+def sessionize_stream(
+    spark: SparkSession,
+    events_dir: str,
+    gap_seconds: int = 1800,
+    schema: Optional[str] = None,
+    use_timeout: bool = False,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    ``applyInPandasWithState``.
+
+    State per user = (session start, last ts, event count, value sum).
+    A session closes when a gap > ``gap_seconds`` is observed (emitting
+    the closed session); with ``use_timeout=True`` idle sessions also
+    close on processing-time timeout — note that timeouts keep the query
+    perpetually triggering, so bounded-input runs (tests,
+    processAllAvailable) should leave it off. This is the streaming form
+    of the batch ``sessionize`` registry query.
+    """
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = schema or (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp,"
+        " n_events long, total_value double"
+    )
+    state_schema = "start long, last long, n long, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start, last, n, total = None, None, 0, 0.0
+        closed = []
+        if state.hasTimedOut:
+            if n > 0:
+                closed.append((user_id, start, last, n, total))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+            for ts, value in zip(rows["ts"], rows["value"]):
+                epoch = int(ts.timestamp())
+                if last is not None and epoch - last > gap_seconds:
+                    closed.append((user_id, start, last, n, total))
+                    start, n, total = epoch, 0, 0.0
+                if start is None:
+                    start = epoch
+                last = epoch
+                n += 1
+                total += float(value)
+            state.update((start, last, n, total))
+            if use_timeout:
+                state.setTimeoutDuration(60_000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [
+                        datetime.datetime.utcfromtimestamp(c[1]) for c in closed
+                    ],
+                    "session_end": [
+                        datetime.datetime.utcfromtimestamp(c[2]) for c in closed
+                    ],
+                    "n_events": [c[3] for c in closed],
+                    "total_value": [round(c[4], 4) for c in closed],
+                }
+            )
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def windowed_events_stream(
     spark: SparkSession,
     events_dir: str,

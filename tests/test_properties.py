@@ -1,0 +1,87 @@
+"""Property-based kernel tests (hypothesis) — invariants that must hold
+for ANY input, complementing the example-based suite."""
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from onnxocr_ray_spark.config import DEFAULT_CONFIG
+from onnxocr_ray_spark.kernels.classify import classify_angle
+from onnxocr_ray_spark.kernels.pipeline import extract_document
+from onnxocr_ray_spark.kernels.recognize import ctc_normalize, pack_batches
+from onnxocr_ray_spark.kernels.sort import sorted_boxes
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300
+)
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_ctc_normalize_idempotent(s):
+    once = ctc_normalize(s)
+    assert ctc_normalize(once) == once
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_ctc_normalize_no_runs_no_edges(s):
+    out = ctc_normalize(s)
+    assert "  " not in out
+    assert out == out.strip()
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_classify_angle_valid_posterior(s):
+    label, conf = classify_angle(s)
+    assert label in ("0", "180")
+    assert 0.0 <= conf <= 1.0
+    # the reported confidence is always the winning side's posterior
+    assert conf >= 0.5 or label == "0"
+
+
+@given(
+    st.lists(st.floats(min_value=0.01, max_value=1000.0, allow_nan=False), max_size=40),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_batches_invariants(ratios, batch_num):
+    batch_id, rec_width, pos = pack_batches(ratios, batch_num, 48, 320.0 / 48.0)
+    n = len(ratios)
+    assert sorted(pos) == list(range(n))          # a permutation
+    for i in range(n):
+        # every item's width is >= its own required width and >= seed
+        assert rec_width[i] >= int(48 * ratios[i]) - 1
+        assert rec_width[i] >= 320
+        # batch ids are the chunk of the sorted position
+        assert batch_id[i] == pos[i] // batch_num
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=100),
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sorted_boxes_is_permutation_and_deterministic(pts):
+    items = [{"y": y, "x": x, "i": i} for i, (y, x) in enumerate(pts)]
+    out = sorted_boxes(items, y0=lambda b: b["y"], x0=lambda b: b["x"])
+    assert sorted(b["i"] for b in out) == list(range(len(items)))
+    out2 = sorted_boxes(list(items), y0=lambda b: b["y"], x0=lambda b: b["x"])
+    assert [b["i"] for b in out] == [b["i"] for b in out2]
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=100, deadline=None)
+def test_extract_document_total_on_arbitrary_bytes(payload):
+    """The pipeline must be total: any byte string yields a DocResult,
+    never an exception, and is deterministic."""
+    a = extract_document(payload, DEFAULT_CONFIG)
+    b = extract_document(payload, DEFAULT_CONFIG)
+    assert a.checksum == b.checksum
+    assert a.n_spans == len(a.spans)
+    assert all(s.score >= DEFAULT_CONFIG.drop_score for s in a.spans)
