@@ -150,7 +150,10 @@ def tokenize_blocks(src: str) -> List[RawBlock]:
             col += 1
 
     def flush() -> None:
-        nonlocal cur, order
+        # a block boundary ends the link context: an unclosed <a> (tag
+        # soup) must not poison every later block's density as link text
+        nonlocal cur, order, link_depth
+        link_depth = 0
         if cur.has_payload:
             raw = "".join(cur.parts).strip("\n")
             blocks.append(
