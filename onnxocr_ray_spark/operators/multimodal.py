@@ -134,3 +134,96 @@ def mm_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return mm_decode_features(docs)
+
+
+# --- resize plumbing (image resize stub with real batch shape) ---
+
+MM_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("dst_w", T.IntegerType()),
+        T.StructField("dst_h", T.IntegerType()),
+        T.StructField("ratio_w", T.DoubleType()),
+        T.StructField("ratio_h", T.DoubleType()),
+    ]
+)
+
+
+def mm_resize(pages_like: DataFrame, target: int = 960, payload_col: str = "payload") -> DataFrame:
+    """Resize plumbing: the DetResizeForTest analog for opaque media
+    (`onnxocr/operators.py:89-159`): limit the longer side to ``target``,
+    round to multiples of 32, emit the shape_list [src_h, src_w, ratio_h,
+    ratio_w]. Geometry comes from the (fake or real) decoder; the pixel
+    resample itself is the cv2-gated step."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "src_w", "src_h", "dst_w", "dst_h", "ratio_w", "ratio_h")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                h, w, _c, _f = _decode_image_fake(data)
+                ratio = min(1.0, float(target) / max(h, w, 1))
+                dst_w = max(32, int(round(w * ratio / 32)) * 32)
+                dst_h = max(32, int(round(h * ratio / 32)) * 32)
+                rows["doc_id"].append(int(doc_id))
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["dst_w"].append(dst_w)
+                rows["dst_h"].append(dst_h)
+                rows["ratio_w"].append(round(dst_w / max(w, 1), 6))
+                rows["ratio_h"].append(round(dst_h / max(h, 1), 6))
+            yield pd.DataFrame(rows)
+
+    return pages_like.mapInPandas(gen, schema=MM_RESIZE_SCHEMA)
+
+
+@register(
+    "mm_resize_meta",
+    sql=None,
+    doc="multimodal op: resize plumbing (DetResizeForTest analog: limit side, multiples of 32, shape_list ratios) over binary payloads",
+)
+def mm_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return mm_resize(docs)
+
+
+# --- frame sampling plumbing (video analog) ---
+
+@register(
+    "mm_frame_sample",
+    sql="""
+    SELECT doc_id, frame_idx,
+           md5(text || ':' || frame_idx) AS frame_key
+    FROM documents,
+         (SELECT unnest(range(0, 5)) AS frame_idx)
+    WHERE cast(floor(octet_length(encode(text)) / 64) AS INT) > frame_idx
+    """,
+    doc="multimodal op: deterministic frame sampling over opaque media (video analog: one row per sampled frame, count proportional to payload size)",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = F.least(
+        F.floor(F.length(F.col("text").cast("binary")) / 64).cast("int"), F.lit(5)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.when(
+                    n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.md5(
+                F.concat(F.col("text"), F.lit(":"), F.col("frame_idx").cast("string")).cast("binary")
+            ).alias("frame_key"),
+        )
+    )
