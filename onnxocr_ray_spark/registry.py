@@ -49,6 +49,7 @@ def load_all() -> Dict[str, Query]:
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         textstats,
     )
