@@ -47,7 +47,7 @@ def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.col("text").cast("binary")
     return docs.select(
         "doc_id",
-        F.length(payload).alias("n_bytes"),
+        F.length(payload).cast("long").alias("n_bytes"),
         F.lower(F.hex(F.substring(F.col("text"), 1, 4).cast("binary"))).alias("magic"),
         portable_md5(F.col("text")).alias("payload_hash"),
     )
@@ -221,7 +221,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            "frame_idx",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
             F.md5(
                 F.concat(F.col("text"), F.lit(":"), F.col("frame_idx").cast("string")).cast("binary")
             ).alias("frame_key"),

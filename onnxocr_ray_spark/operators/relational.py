@@ -56,7 +56,7 @@ def lim_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
     return (
-        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        docs.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rn"))
         .filter(F.col("rn") <= 100)
     )
 
@@ -76,7 +76,7 @@ def sort_boxes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
-        "event_id", "user_id", F.row_number().over(w).alias("reading_order")
+        "event_id", "user_id", F.row_number().over(w).cast("long").alias("reading_order")
     )
 
 
@@ -106,7 +106,7 @@ def zip_boxrec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = li.select(
         F.col("l_orderkey").alias("okey"),
-        F.row_number().over(w).alias("span_idx"),
+        F.row_number().over(w).cast("long").alias("span_idx"),
         F.col("l_quantity").alias("qty"),
         F.col("l_extendedprice").alias("price"),
     )
@@ -390,8 +390,8 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_id, count(*) AS n_events
     FROM (
       SELECT user_id, event_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     GROUP BY user_id, session_id
@@ -424,6 +424,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("new_session")
         .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
         .alias("session_id"),
     )
     return running.groupBy("user_id", "session_id").agg(

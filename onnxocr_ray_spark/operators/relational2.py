@@ -118,7 +118,7 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 4
         ).alias("running_value"),
-        F.row_number().over(w).alias("seq"),
+        F.row_number().over(w).cast("long").alias("seq"),
     )
 
 

@@ -52,8 +52,8 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_tokens.cast("int").alias("n_tokens"),
-        F.length("text").alias("n_chars_txt"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_txt"),
     )
 
 
