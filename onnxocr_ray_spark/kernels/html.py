@@ -182,25 +182,42 @@ def tokenize_blocks(src: str) -> List[RawBlock]:
             advance(tag_src)  # comment / doctype
             continue
         closing = m.group(1) == "/"
+        self_closing = m.group(4) == "/"
         name = name.lower()
         if name in SKIP_TAGS:
+            # A self-closed skip tag (<svg/>, <iframe />) opens nothing —
+            # pushing it onto skip accounting would silently drop ALL
+            # visible text for the rest of the document.
             if closing:
                 skip_depth = max(0, skip_depth - 1)
-            else:
+            elif not self_closing:
                 skip_depth += 1
         elif name == "a" and skip_depth == 0:
             if closing:
                 link_depth = max(0, link_depth - 1)
+            elif self_closing:
+                # <a/> opens and closes in place: inline payload marker,
+                # never a link context
+                cur.has_payload = True
+                cur.n_tags += 1
             else:
                 link_depth += 1
                 cur.has_payload = True
                 cur.n_tags += 1
         elif name in BLOCK_TAGS:
-            flush()
+            # Block boundaries inside skip content are invisible, like the
+            # text around them (document.write("<p>…") must not flush the
+            # visible block mid-text or reset link accounting).
+            if skip_depth == 0:
+                flush()
         elif skip_depth == 0:
-            # inline tag swallowed into the current block
-            cur.n_tags += 1
-            cur.has_payload = True
+            if closing and name in VOID_TAGS:
+                pass  # tag-soup closer of a void element (</img>): no-op
+            else:
+                # inline tag (incl. void elements like <img>, which never
+                # open anything) swallowed into the current block
+                cur.n_tags += 1
+                cur.has_payload = True
         advance(tag_src)
     if pos < len(src):
         feed_text(src[pos:])

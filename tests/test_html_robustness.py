@@ -98,3 +98,60 @@ def test_malformed_tag_soup_never_crashes():
 def test_unclosed_anchor_does_not_poison_later_blocks():
     html = b'<p><a href="/x">unterminated anchor</p><p>clean paragraph of words</p>'
     assert "clean paragraph of words" in texts(html)
+
+
+def test_self_closed_skip_tag_does_not_swallow_rest_of_document():
+    # <svg/> opens nothing: text after it must stay visible
+    html = b'<p>before drawing <svg width="10"/> after drawing words</p>'
+    out = texts(html)
+    assert "before drawing" in out and "after drawing words" in out
+
+
+def test_self_closed_iframe_with_space_slash():
+    html = b'<p>intro words here <iframe src="/ad" /> closing words here</p>'
+    out = texts(html)
+    assert "intro words here" in out and "closing words here" in out
+
+
+def test_balanced_skip_tags_still_skip():
+    html = b"<p>shown before<svg><text>hidden vector text</text></svg>shown after</p>"
+    out = texts(html)
+    assert "shown before" in out and "shown after" in out
+    assert "hidden" not in out
+
+
+def test_block_tag_inside_script_does_not_flush():
+    # document.write('<p>') must not split the surrounding visible block
+    html = (
+        b"<p>first half of the sentence "
+        b"<script>document.write('<p>ghost</p>');</script>"
+        b"continues to the second half</p>"
+    )
+    blocks = [b for b in tokenize_blocks(html.decode()) if b.text_chars > 0]
+    assert len(blocks) == 1
+    out = texts(html)
+    assert "first half of the sentence" in out
+    assert "second half" in out
+    assert "ghost" not in out
+
+
+def test_block_tag_inside_style_keeps_link_accounting():
+    # a '</a>' or '<div>' inside style content must not reset link depth:
+    # the anchor below is still open across the style element
+    html = (
+        b'<p><a href="/x">link start <style>.x{}</style>link end</a> '
+        b"plus plain visible trailing words making this block mostly text "
+        b"so it survives the density filter</p>"
+    )
+    blocks = [b for b in tokenize_blocks(html.decode()) if b.text_chars > 0]
+    assert len(blocks) == 1
+    # both halves of the anchor text counted as link chars
+    assert blocks[0].link_chars >= len("linkstart") + len("linkend")
+
+
+def test_closing_void_tag_soup_is_not_payload():
+    # a stray </img> alone must not fabricate a payload-bearing block
+    html = b"<p></img></p><p>real content words</p>"
+    blocks = tokenize_blocks(html.decode())
+    assert len(blocks) == 1  # no zero-width phantom block from </img>
+    assert texts(html) == "real content words"
