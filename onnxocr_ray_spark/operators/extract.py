@@ -217,16 +217,17 @@ def classify_recognize_exploded(detected: DataFrame, cfg: ExtractConfig = DEFAUL
     rec_width) was fixed at detect time over the whole document — span
     placement can no longer change what any kernel computes.
     """
-    # posexplode_outer keeps zero-region documents (empty/undecodable
-    # payloads) as a single null-span row, so they don't vanish from the
-    # output; they're routed around the UDF below.
-    exploded = detected.select(
-        "url", F.posexplode_outer("spans").alias("ord", "s")
-    )
-    empty_docs = exploded.filter(F.col("ord").isNull()).select(
+    # zero-region documents (empty/undecodable payloads) are routed around
+    # the explode+UDF entirely so they don't vanish from the output; the
+    # split happens BEFORE the Generate so the explode runs once, not once
+    # per branch
+    has_spans = F.size("spans") > 0
+    empty_docs = detected.filter(~has_spans | F.col("spans").isNull()).select(
         "url", F.from_json(F.lit("[]"), T.ArrayType(REC_SPAN_T)).alias("spans")
     )
-    spans = exploded.filter(F.col("ord").isNotNull())
+    spans = detected.filter(has_spans).select(
+        "url", F.posexplode("spans").alias("ord", "s")
+    )
     if span_partitions:
         spans = spans.repartition(span_partitions, "url", "ord")
 
@@ -335,22 +336,101 @@ def extract_fused(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> Data
     return pages.select("url", "html").mapInPandas(gen, schema=REC_DOC_SCHEMA)
 
 
+ROUTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(REC_SPAN_T)),       # small docs
+        T.StructField("det_spans", T.ArrayType(DET_SPAN_T)),   # big docs
+        T.StructField("is_big", T.BooleanType(), False),
+    ]
+)
+
+# handle of the previous extract() call's routed cache — released on the
+# next call so repeated invocations (streaming epochs, bench loops) never
+# accumulate cached blocks (see caching.py)
+_PREV_ROUTED: List[DataFrame] = []
+
+
+def extract_routed(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
+                   straggler_html_bytes: int = 1 << 20) -> DataFrame:
+    """ONE pass over the pages scan with per-row straggler routing.
+
+    Typical documents (html <= threshold) are processed through all three
+    stages fused (zero extra crossings); heavy-tail documents get detect
+    ONLY — their per-span work is exported for cluster-wide distribution.
+    This replaces the round-1 eager ``filter(is_big).limit(1).count()``
+    probe, which could not short-circuit when NO straggler existed and so
+    re-read every partition's html column (a full extra pass over the
+    fattest column at 100 TB) just to elide ~1 s of empty-branch overhead.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sizes = pdf["html"].map(lambda h: len(h) if h is not None else 0)
+            for chunk in _chunk_frames(pdf, sizes, cfg.coalesce_target_bytes):
+                rec_out, det_out, big_out = [], [], []
+                for h in chunk["html"]:
+                    data = bytes(h) if h is not None else None
+                    if data is not None and len(data) > straggler_html_bytes:
+                        det_out.append(_detect_doc(data, cfg))
+                        rec_out.append(None)
+                        big_out.append(True)
+                        continue
+                    spans = _detect_doc(data, cfg)
+                    doc = []
+                    for s in spans:
+                        label, conf, text, score = _process_span(
+                            s["raw"], s["rec_width"], cfg
+                        )
+                        doc.append(
+                            {
+                                "box": s["box"],
+                                "det_score": s["det_score"],
+                                "angle": label,
+                                "cls_conf": conf,
+                                "text": text,
+                                "score": score,
+                                "batch_id": s["batch_id"],
+                                "rec_width": s["rec_width"],
+                            }
+                        )
+                    rec_out.append(doc)
+                    det_out.append(None)
+                    big_out.append(False)
+                yield pd.DataFrame(
+                    {
+                        "url": chunk["url"].values,
+                        "spans": rec_out,
+                        "det_spans": det_out,
+                        "is_big": big_out,
+                    }
+                )
+
+    return pages.select("url", "html").mapInPandas(gen, schema=ROUTED_SCHEMA)
+
+
 def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
             doc_partitions: Optional[int] = None,
             span_partitions: Optional[int] = None,
             straggler_html_bytes: int = 1 << 20) -> DataFrame:
-    """Full pipeline with straggler routing.
+    """Full pipeline with single-pass straggler routing.
 
     pages(url, html, ...) -> (url, spans, extracted_text, n_spans, checksum)
 
-    Routing is decided by a cheap JVM-side pre-pass on ``length(html)``
-    (SURVEY.md §4.3.1): typical documents take the fused zero-shuffle
-    path (one Python pass, no persist, no recompute); heavy-tail
-    documents go detect -> span-explode -> recognize -> regroup so one
+    The pages scan is read EXACTLY ONCE: ``extract_routed`` decides per
+    row inside the fused kernel whether a document is typical (processed
+    to completion in place) or a heavy-tail straggler (detect only). The
+    routed output — output-sized, i.e. extracted spans, not raw html —
+    is persisted MEMORY_AND_DISK so the small/big consumers share one
+    computation; at 100 TB that spill is a fraction of a second full
+    re-read of the html column, which is what the previous eager-probe
+    design paid. Straggler spans then explode across the cluster so one
     giant page cannot straggle a task. Both paths run identical kernels
     with identical inputs — byte-identity is proven by tests regardless
     of which path a document takes.
     """
+    from onnxocr_ray_spark.caching import scoped_persist
+
     if doc_partitions is None and pages.rdd.getNumPartitions() < (
         pages.sparkSession.sparkContext.defaultParallelism
     ):
@@ -361,24 +441,27 @@ def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
         # uniform doc distribution; url hash is effectively a salt because
         # input files may be ordered by crawl host (skewed localities)
         pages = pages.repartition(doc_partitions, "url")
-    pages = pages.select("url", "html")
-    is_big = F.length("html") > straggler_html_bytes
-    # Cheap eager probe: a pushed-filter scan with LIMIT 1 tells us whether
-    # ANY straggler exists. When none does (the common case for a healthy
-    # corpus slice), the whole branch — two extra Python stages plus two
-    # shuffles of nothing — is elided from the plan. The probe costs one
-    # short-circuiting scan; the branch it saves costs ~1s of empty-
-    # partition worker round-trips per job at high parallelism.
-    has_big = pages.filter(is_big).limit(1).count() > 0
-    if not has_big:
-        return assemble(extract_fused(pages, cfg), cfg)
-    rec_small = extract_fused(pages.filter(~is_big | F.col("html").isNull()), cfg)
+
+    # this call owns the cache lifecycle of ITS routed pass only: release
+    # the previous call's handle (streaming epochs / bench loops), persist
+    # the new one for the two branch consumers below
+    while _PREV_ROUTED:
+        _PREV_ROUTED.pop().unpersist(blocking=False)
+    routed = scoped_persist(extract_routed(pages, cfg, straggler_html_bytes))
+    _PREV_ROUTED.append(routed)
+
+    rec_small = routed.filter(~F.col("is_big")).select("url", "spans")
     # The straggler branch handles the heavy TAIL — few documents by
-    # definition. Coalesce it to a handful of partitions: every chained
-    # Python stage pays a worker round-trip per partition even when the
-    # partition is near-empty.
+    # definition. Coalesce it to a handful of partitions before the
+    # span-level pandas_udf: every chained Python stage pays a worker
+    # round-trip per partition even when the partition is near-empty;
+    # classify_recognize_exploded then redistributes SPANS via
+    # span_partitions when a finer fan-out is wanted.
     parallelism = pages.sparkSession.sparkContext.defaultParallelism
-    big_pages = pages.filter(is_big).repartition(max(4, parallelism // 2), "url")
-    big = detect(big_pages, cfg).drop("n_regions")
+    big = (
+        routed.filter(F.col("is_big"))
+        .select("url", F.col("det_spans").alias("spans"))
+        .repartition(max(4, parallelism // 4), "url")
+    )
     rec_big = classify_recognize_exploded(big, cfg, span_partitions=span_partitions)
     return assemble(rec_small.unionByName(rec_big), cfg)

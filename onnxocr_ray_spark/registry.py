@@ -36,7 +36,18 @@ QUERIES: Dict[str, Query] = {}
 
 def register(name: str, sql: Optional[str], doc: str):
     def deco(fn):
-        QUERIES[name] = Query(name=name, fn=fn, sql=sql, doc=doc)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # bounded cache lifecycle: drop whatever the PREVIOUS query
+            # persisted before building this one (queries run sequentially
+            # through the driver/bench; see caching.py)
+            from onnxocr_ray_spark.caching import release_persisted
+
+            release_persisted()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = Query(name=name, fn=wrapped, sql=sql, doc=doc)
         return fn
 
     return deco
