@@ -37,11 +37,17 @@ def detection_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = pages_table(spark, sf_dir)
     det = detect(pages)
+    # registry-facing projection serializes the nested arrays to JSON
+    # strings: the driver canonicalizer sorts row values, and top-level
+    # list cells are unhashable (the round-1 failure mode). The structured
+    # form stays available through the library API (operators.extract.detect).
     return det.select(
         "url",
         "n_regions",
-        F.expr("transform(spans, s -> s.box)").alias("boxes"),
-        F.expr("transform(spans, s -> round(s.det_score, 6))").alias("det_scores"),
+        F.to_json(F.expr("transform(spans, s -> s.box)")).alias("boxes"),
+        F.to_json(
+            F.expr("transform(spans, s -> cast(round(s.det_score * 1000000) as long))")
+        ).alias("det_score_ppm"),
     )
 
 

@@ -62,7 +62,7 @@ MM_FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
-        T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("feature", T.ArrayType(T.LongType())),  # ppm weights
         T.StructField("decoder", T.StringType()),
     ]
 )
@@ -83,7 +83,12 @@ def _decode_image_real(payload: bytes):  # pragma: no cover
 
 def _decode_image_fake(payload: bytes):
     """Deterministic stand-in: derives a fake (h, w, c) geometry and an
-    8-bucket byte histogram 'feature' from the payload bytes alone."""
+    8-bucket byte histogram from the payload bytes alone. The histogram is
+    emitted as parts-per-million integers (floor(count*1e6/total + 0.5)) —
+    integer features keep the engine/oracle comparison exact (no float
+    formatting ambiguity) and the driver canonicalizer hashable."""
+    import math
+
     n = len(payload)
     w = 16 + (n % 64)
     h = 16 + ((n // 64) % 64)
@@ -91,7 +96,7 @@ def _decode_image_fake(payload: bytes):
     for by in payload[:4096]:
         hist[by >> 5] += 1
     total = max(sum(hist), 1)
-    return h, w, 3, [round(v / total, 6) for v in hist]
+    return h, w, 3, [int(math.floor(v * 1e6 / total + 0.5)) for v in hist]
 
 
 def mm_decode_features(pages_like: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -124,16 +129,61 @@ def mm_decode_features(pages_like: DataFrame, payload_col: str = "payload") -> D
     return pages_like.mapInPandas(gen, schema=MM_FEATURE_SCHEMA)
 
 
+# DuckDB reproduction of the fake decoder's byte histogram, bit-for-bit:
+# hex() the payload, keep the HIGH NIBBLE of each byte (first char of each
+# hex pair — regexp keeps char 1 of every 2), and count nibble chars per
+# bucket (byte>>5 == high_nibble>>1, so hex digits 2k/2k+1 map to bucket k).
+_HX = "upper(substr(hex(text::BLOB), 1, 8192))"
+_NIB = f"regexp_replace({_HX}, '(.).', '\\1', 'g')"
+_BUCKET_CHARS = [("0", "1"), ("2", "3"), ("4", "5"), ("6", "7"),
+                 ("8", "9"), ("A", "B"), ("C", "D"), ("E", "F")]
+_CNT_SQL = ", ".join(
+    f"(len(hi) - len(replace(hi, '{a}', ''))) + (len(hi) - len(replace(hi, '{b}', ''))) AS c{k}"
+    for k, (a, b) in enumerate(_BUCKET_CHARS)
+)
+_PPM_SQL = ", ".join(
+    f"floor(c{k} * 1000000.0 / greatest(len_hi, 1) + 0.5)::BIGINT" for k in range(8)
+)
+
+
 @register(
     "mm_decode_features",
-    sql=None,  # python UDF path; driver records rows-only check
-    doc="multimodal op: decode + feature-extract plumbing over binary payloads (deterministic fake decoder; cv2 drop-in)",
+    sql=f"""
+    WITH nib AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             {_NIB} AS hi
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, n_bytes, len(hi) AS len_hi, {_CNT_SQL} FROM nib
+    )
+    SELECT doc_id, n_bytes,
+           16 + (n_bytes % 64) AS width,
+           16 + ((n_bytes // 64) % 64) AS height,
+           3::BIGINT AS channels,
+           '[' || array_to_string([{_PPM_SQL}], ',') || ']' AS feature,
+           'fake' AS decoder
+    FROM cnt
+    """,
+    doc="multimodal op: decode + feature-extract plumbing over binary payloads (deterministic fake decoder, ppm byte-histogram feature; cv2 drop-in)",
 )
 def mm_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return mm_decode_features(docs)
+    out = mm_decode_features(docs)
+    # registry-facing projection: JSON-serialize the feature array (the
+    # driver canonicalizer sorts row values — nested lists are unhashable)
+    return out.select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.to_json("feature").alias("feature"),
+        "decoder",
+    )
 
 
 # --- resize plumbing (image resize stub with real batch shape) ---
@@ -181,14 +231,49 @@ def mm_resize(pages_like: DataFrame, target: int = 960, payload_col: str = "payl
 
 @register(
     "mm_resize_meta",
-    sql=None,
-    doc="multimodal op: resize plumbing (DetResizeForTest analog: limit side, multiples of 32, shape_list ratios) over binary payloads",
+    sql="""
+    WITH geo AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             16 + (octet_length(encode(text)) % 64) AS w,
+             16 + ((octet_length(encode(text)) // 64) % 64) AS h
+      FROM documents
+    ),
+    dst AS (
+      SELECT doc_id, w, h,
+             greatest(32, round(w * least(1.0, 960.0 / greatest(h, w, 1)) / 32)::BIGINT * 32) AS dw,
+             greatest(32, round(h * least(1.0, 960.0 / greatest(h, w, 1)) / 32)::BIGINT * 32) AS dh
+      FROM geo
+    )
+    SELECT doc_id,
+           w AS src_w, h AS src_h, dw AS dst_w, dh AS dst_h,
+           floor(dw * 1000000.0 / greatest(w, 1) + 0.5)::BIGINT AS ratio_w_ppm,
+           floor(dh * 1000000.0 / greatest(h, 1) + 0.5)::BIGINT AS ratio_h_ppm
+    FROM dst
+    """,
+    doc="multimodal op: resize plumbing (DetResizeForTest analog: limit side, multiples of 32, shape_list ratios as ppm ints) over binary payloads",
 )
 def mm_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return mm_resize(docs)
+    out = mm_resize(docs)
+    # registry-facing projection: ratios re-derived from the integer
+    # geometry as ppm (floor(dst*1e6/src + 0.5)) so engine and oracle
+    # compute the identical IEEE expression — no float-rounding ambiguity
+    return out.select(
+        "doc_id",
+        F.col("src_w").cast("long").alias("src_w"),
+        F.col("src_h").cast("long").alias("src_h"),
+        F.col("dst_w").cast("long").alias("dst_w"),
+        F.col("dst_h").cast("long").alias("dst_h"),
+        F.floor(
+            F.col("dst_w") * F.lit(1000000.0) / F.greatest(F.col("src_w"), F.lit(1)) + 0.5
+        ).cast("long").alias("ratio_w_ppm"),
+        F.floor(
+            F.col("dst_h") * F.lit(1000000.0) / F.greatest(F.col("src_h"), F.lit(1)) + 0.5
+        ).cast("long").alias("ratio_h_ppm"),
+    )
 
 
 # --- frame sampling plumbing (video analog) ---
