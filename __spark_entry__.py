@@ -65,8 +65,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle per query; non-SQL-expressible ops are omitted and
     get the driver's rows-only check (extract_e2e / extract_spans /
-    mm_decode_features — their correctness gate is the oracle parity
-    pytest suite instead)."""
+    detection_only — three mapInPandas stages + the bounded bubble sort
+    are not SQL; their correctness gate is the byte-identity oracle
+    parity pytest suite instead)."""
     from onnxocr_ray_spark.registry import load_all
 
     return {name: q.sql for name, q in load_all().items() if q.sql is not None}

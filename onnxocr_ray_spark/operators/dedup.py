@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from onnxocr_ray_spark.caching import scoped_persist
 from onnxocr_ray_spark.functions import portable_md5, shingles_of, words_of
 from onnxocr_ray_spark.registry import register
 from onnxocr_ray_spark.sources.tables import load_table
@@ -239,8 +240,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the signature table once and reuse it on every join
     # side; without this Catalyst would inline the signature computation
     # into all four self-join branches. At production scale this persist
-    # becomes a checkpointed signature table (SURVEY.md §7.1 M5).
-    sh = _signed(spark, sf_dir).persist()
+    # becomes a checkpointed signature table (SURVEY.md §7.1 M5). The
+    # handle is scope-managed: released before the next registry query
+    # runs (caching.py), so a 45-query session never accumulates caches.
+    sh = scoped_persist(_signed(spark, sf_dir))
     # scalable LSH plan: one row per (band_idx, band_hash), equi-join on both
     exploded = sh.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
@@ -273,24 +276,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ---
 
-@register(
-    "dedup_simhash",
-    sql=f"""
-    WITH base AS (
-      SELECT doc_id,
-             list_transform(
-               list_distinct(list_filter(string_split(lower(trim(text)), ' '), w -> w <> '')),
-               w -> md5(w)) AS hashes
-      FROM documents
-    )
+_SIMHASH_SQL = f"""
     SELECT doc_id,
            array_to_string(
              [CASE WHEN list_sum([CASE WHEN substr(h, j, 1) IN ('1','3','5','7','9','b','d','f')
                                        THEN 1 ELSE -1 END for h in hashes]) > 0
                    THEN '1' ELSE '0' END for j in range(1, {SIMHASH_BITS + 1})],
              '') AS simhash
-    FROM base
-    """,
+    FROM (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(list_filter(string_split(lower(trim(text)), ' '), w -> w <> '')),
+               w -> md5(w)) AS hashes
+      FROM documents
+    )
+"""
+
+
+@register(
+    "dedup_simhash",
+    sql=_SIMHASH_SQL,
     doc="training-data op: SimHash signature (bit votes over token md5 hex parity)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,12 +371,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize at all. Measured 2.2x faster at sf0.1 with identical
     # output; at 10^12 docs this is the only plan whose shuffle is not
     # quadratic in block size.
-    sh = _shingled(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / 50).cast("int").alias("blk"),
-        F.array_distinct("shingles").alias("s"),
-    ).persist()
+    sh = scoped_persist(
+        _shingled(spark, sf_dir).select(
+            "doc_id",
+            "lang",
+            F.floor(F.col("n_chars") / 50).cast("int").alias("blk"),
+            F.array_distinct("shingles").alias("s"),
+        )
+    )
     ex = sh.select(
         "doc_id", "lang", "blk", F.size("s").alias("sz"), F.explode("s").alias("sh")
     )
@@ -407,3 +414,77 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("c")), 6
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= 0.02)
+
+
+# --- SimHash candidate pairs: banded Hamming join (completes SimHash as
+# an actual dedup, not just a signature) ---
+
+SIMHASH_HAMMING_K = 3   # with 4 bands of 4 bits, banding is EXACT at k=3:
+SIMHASH_N_BANDS = 4     # <=3 differing bits leave >=1 band untouched
+_BAND_W = SIMHASH_BITS // SIMHASH_N_BANDS
+
+_HAMMING_SQL = "(" + " + ".join(
+    f"CASE WHEN substr(a.simhash, {j}, 1) <> substr(b.simhash, {j}, 1) THEN 1 ELSE 0 END"
+    for j in range(1, SIMHASH_BITS + 1)
+) + ")::BIGINT"
+
+
+@register(
+    "dedup_simhash_pairs",
+    sql=f"""
+    WITH s AS ({_SIMHASH_SQL})
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_HAMMING_SQL} AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= {SIMHASH_HAMMING_K}
+    """,
+    doc=(
+        "training-data op: SimHash near-dup pairs via banded Hamming join — "
+        "4x4-bit bands, equi-join per band (pigeonhole-complete at Hamming<=3), "
+        "exact popcount verify; oracle uses the all-pairs form at oracle scale"
+    ),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalable plan: explode each signature into its 4 bit-bands and
+    # equi-join on (band_idx, band_bits) — candidates are band collisions
+    # only, shuffle key space = bands x 2^band_width. By pigeonhole, any
+    # pair within Hamming distance 3 shares at least one exact band, so
+    # the banded candidate set is COMPLETE (identical rows to the oracle's
+    # all-pairs scan) while never materializing zero-overlap pairs.
+    sigs = scoped_persist(dedup_simhash(spark, sf_dir))
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash", b * _BAND_W + 1, _BAND_W)
+                    for b in range(SIMHASH_N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+    cands = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    hamming = sum(
+        (
+            F.substring("sig_a", j, 1) != F.substring("sig_b", j, 1)
+        ).cast("int")
+        for j in range(1, SIMHASH_BITS + 1)
+    ).cast("long")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_K)
+    )

@@ -33,32 +33,43 @@ from onnxocr_ray_spark.sources.tables import load_table
         ON c.user_id = p.user_id AND c.ts <= p.ts
     ) WHERE rn = 1
     """,
-    doc="engine coverage: as-of join (latest click at-or-before each purchase, per user) via range-filtered join + window top-1; Spark lacks a native as-of join",
+    doc="engine coverage: as-of join (latest click at-or-before each purchase, per user) via union + running last() window — no join, single shuffle on user_id; Spark lacks a native as-of join",
 )
 def asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
+    # Scale-safe as-of form: the range-filtered join (clicks x purchases
+    # per user, then rn=1) materializes a quadratic intermediate on hot
+    # users. Instead, interleave both event kinds in one stream ordered by
+    # (ts, kind, event_id) — clicks sort BEFORE purchases at equal ts
+    # (the <= bound is inclusive) and ascending event_id makes the running
+    # last() pick the max-id click among same-ts ties — and carry the
+    # latest click forward with one cumulative window. One shuffle, zero
+    # joins, linear in the event count.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
         "user_id",
-        F.col("ts").alias("pts"),
+        "ts",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
     )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("last_click_id"),
-        F.col("user_id").alias("cuser"),
-        F.col("ts").alias("last_click_ts"),
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
     )
-    joined = p.join(
-        c,
-        (F.col("cuser") == F.col("user_id"))
-        & (F.col("last_click_ts") <= F.col("pts")),
-    )
-    w = W.partitionBy("purchase_id").orderBy(
-        F.col("last_click_ts").desc(), F.col("last_click_id").desc()
-    )
+    click_id = F.when(F.col("kind") == 0, F.col("event_id"))
+    click_ts = F.when(F.col("kind") == 0, F.col("ts"))
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("purchase_id", "user_id", "last_click_id", "last_click_ts")
+        tagged.withColumn("last_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter((F.col("kind") == 1) & F.col("last_click_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "last_click_id",
+            "last_click_ts",
+        )
     )
 
 
@@ -183,9 +194,11 @@ def dedup_near_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # strict match on the first two MinHash signatures (bands[0] is
     # md5(sig0+sig1), so equality of bands[0] == equality of (sig0, sig1))
-    sigs = _signed(spark, sf_dir).select(
-        "doc_id", F.col("bands")[0].alias("b0")
-    ).persist()
+    from onnxocr_ray_spark.caching import scoped_persist
+
+    sigs = scoped_persist(
+        _signed(spark, sf_dir).select("doc_id", F.col("bands")[0].alias("b0"))
+    )
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("b0").alias("ba"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("b0").alias("bb"))
     pairs = a.join(

@@ -113,27 +113,53 @@ def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embed_cosine",
     sql=f"""
-    WITH e AS ({_E_SQL})
+    WITH e AS ({_E_SQL}),
+    eb AS (SELECT vec_id, label, v, {_BUCKET_SQL} AS bucket FROM e)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
            round({_COS_SQL}, 6) AS cos
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM eb a JOIN eb b
+      ON a.bucket = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
     WHERE round({_COS_SQL}, 6) >= 0.3
     """,
-    doc="training-data op: embedding-cosine near-dup pairs with label blocking",
+    doc="training-data op: embedding-cosine near-dup pairs blocked by sign-LSH bucket (hyperplane-sign candidates, exact cosine verify)",
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale story: candidates come from the deterministic sign-LSH bucket
+    # (same hyperplane-sign pattern as ann_lsh_bucket), so the self-join
+    # key is (bucket, label) — ~2^bits x labels blocks instead of the
+    # round-1 label-only blocking whose candidate count was ~n^2/5. Only
+    # bucket collisions pay the 64-dim cosine verify; bits scale with
+    # corpus size (6 here, more at 10^12 docs). The oracle computes the
+    # identical blocking, so rows match exactly.
     e = _vecs(spark, sf_dir)
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("v").alias("va")
+    bucket = F.array_join(
+        F.transform(
+            F.slice(F.col("v"), 1, 6),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
     )
-    b = e.select(
+    eb = e.select("vec_id", "label", "v", bucket.alias("bucket"))
+    a = eb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        F.col("bucket"),
+        F.col("v").alias("va"),
+    )
+    b = eb.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
+        F.col("bucket").alias("bucket_b"),
         F.col("v").alias("vb"),
     )
     cos = F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
     return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("label") == F.col("label_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
         .select("id_a", "id_b", "label", cos.alias("cos"))
         .filter(F.col("cos") >= 0.3)
     )

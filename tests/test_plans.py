@@ -100,3 +100,27 @@ def test_extract_has_bounded_shuffles(spark, queries):
 def test_ann_topk_broadcasts_query_vector(spark, queries):
     plan = plan_of(queries["ann_topk_cosine"].fn(spark, SF0001))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_asof_has_no_join(spark, queries):
+    # scale-safe as-of form: union + running window, never a range join
+    plan = plan_of(queries["asof_last_event"].fn(spark, SF0001))
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+
+def test_embed_cosine_joins_on_lsh_bucket(spark, queries):
+    # candidates must come from the sign-LSH bucket equi-join, not an
+    # all-pairs product within label blocks
+    plan = plan_of(queries["dedup_embed_cosine"].fn(spark, SF0001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "bucket" in l]
+    assert join_lines, plan
+
+
+def test_simhash_pairs_uses_banded_equijoin(spark, queries):
+    plan = plan_of(queries["dedup_simhash_pairs"].fn(spark, SF0001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan
