@@ -77,25 +77,106 @@ class StandinRecognizer:
         return [recognize_span(r, w) for r, w in zip(raws, rec_widths)]
 
 
+class OrtClassifier:
+    """Real angle classifier: batch of HxWx3 uint8 region rasters ->
+    [(label, prob)], via the cached per-worker ORT session.
+
+    Re-derives the reference's batched run loop (predict_cls.py:43-86):
+    width-argsort, chunks of ``batch_num``, per-item cls_resize_norm,
+    one session.run per chunk, argmax postprocess, scatter back."""
+
+    def __init__(self, model_path: str, image_shape=(3, 48, 192),
+                 labels=("0", "180"), batch_num: int = 6):
+        from onnxocr_ray_spark.preprocess import cls_postprocess, cls_resize_norm
+
+        self._session = get_session(model_path)
+        self._input = self._session.get_inputs()[0].name
+        self._shape = image_shape
+        self._labels = labels
+        self._batch = batch_num
+        self._pre = cls_resize_norm
+        self._post = cls_postprocess
+
+    def __call__(self, images):
+        import numpy as np
+
+        n = len(images)
+        order = sorted(range(n), key=lambda i: images[i].shape[1] / images[i].shape[0])
+        out = [None] * n
+        for beg in range(0, n, self._batch):
+            chunk = order[beg:beg + self._batch]
+            batch = np.stack([self._pre(images[i], self._shape) for i in chunk])
+            preds = self._session.run(None, {self._input: batch})[0]
+            for i, res in zip(chunk, self._post(preds, self._labels)):
+                out[i] = res
+        return out
+
+
+class OrtRecognizer:
+    """Real CRNN+CTC recognizer: batch of HxWx3 uint8 rasters ->
+    [(text, score)], via the cached per-worker ORT session.
+
+    Re-derives the reference's batched run loop (predict_rec.py:82-120):
+    width-argsort, chunks of ``batch_num``, per-chunk max aspect ratio ->
+    shared dynamic width (rec_resize_norm), one session.run per chunk,
+    greedy CTC decode, scatter back."""
+
+    def __init__(self, model_path: str, charset, image_shape=(3, 48, 320),
+                 batch_num: int = 6):
+        from onnxocr_ray_spark.preprocess import ctc_greedy_decode, rec_resize_norm
+
+        self._session = get_session(model_path)
+        self._input = self._session.get_inputs()[0].name
+        self._shape = image_shape
+        self._charset = list(charset)
+        self._batch = batch_num
+        self._pre = rec_resize_norm
+        self._decode = ctc_greedy_decode
+
+    def __call__(self, images):
+        import numpy as np
+
+        n = len(images)
+        ratios = [im.shape[1] / float(im.shape[0]) for im in images]
+        order = sorted(range(n), key=lambda i: ratios[i])
+        out = [None] * n
+        img_c, img_h, img_w = self._shape
+        for beg in range(0, n, self._batch):
+            chunk = order[beg:beg + self._batch]
+            max_ratio = max([img_w / img_h] + [ratios[i] for i in chunk])
+            batch = np.stack(
+                [self._pre(images[i], max_ratio, self._shape) for i in chunk]
+            )
+            preds = self._session.run(None, {self._input: batch})[0]
+            for i, res in zip(chunk, self._decode(preds, self._charset)):
+                out[i] = res
+        return out
+
+
 def classifier_provider(model_path: Optional[str] = None) -> Callable:
     """Returns the classify callable a stage should use — the real ORT
     session wrapper when a model path is configured and onnxruntime is
-    present, the stand-in otherwise."""
-    if model_path is not None and HAVE_ORT:  # pragma: no cover
-        session = get_session(model_path)
-        raise NotImplementedError(
-            "real-model preprocessing (resize/normalize to the cls input "
-            "tensor) requires the raster pipeline; wire predict-time "
-            "preprocessing here when deploying with real blobs"
-        )
+    present, the deterministic stand-in otherwise. Both are plain
+    callables built lazily INSIDE the worker, so a config swap (ship the
+    .onnx via --files / SparkFiles and pass its path) is the only change
+    needed to run real models."""
+    if model_path is not None:
+        if not HAVE_ORT:
+            raise RuntimeError(
+                f"model path {model_path!r} configured but onnxruntime is "
+                "not installed on this worker"
+            )
+        return OrtClassifier(model_path)  # pragma: no cover - needs ORT
     return StandinClassifier()
 
 
-def recognizer_provider(model_path: Optional[str] = None) -> Callable:
-    if model_path is not None and HAVE_ORT:  # pragma: no cover
-        session = get_session(model_path)
-        raise NotImplementedError(
-            "real-model preprocessing requires the raster pipeline; wire "
-            "predict-time preprocessing here when deploying with real blobs"
-        )
+def recognizer_provider(model_path: Optional[str] = None,
+                        charset: Optional[list] = None) -> Callable:
+    if model_path is not None:
+        if not HAVE_ORT:
+            raise RuntimeError(
+                f"model path {model_path!r} configured but onnxruntime is "
+                "not installed on this worker"
+            )
+        return OrtRecognizer(model_path, charset or [])  # pragma: no cover
     return StandinRecognizer()
