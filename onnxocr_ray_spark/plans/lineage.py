@@ -114,16 +114,19 @@ def run_extraction(
     out.write.mode("overwrite").partitionBy("wp").parquet(_data_dir(output_dir))
 
     # lineage rows are derived from what was actually WRITTEN (read back),
-    # so a lineage row always describes committed data
-    written = spark.read.parquet(_data_dir(output_dir))
-    new_wps = (
-        written.select("wp").distinct().filter(
-            ~F.col("wp").isin(list(done)) if done else F.lit(True)
-        )
+    # so a lineage row always describes committed data — but ONLY this
+    # run's buckets are re-read: wp is the physical partition column, so
+    # the isin filter partition-prunes the scan and the commit cost grows
+    # with the increment, not with total output history
+    todo_wps = sorted(set(range(n_buckets)) - done)
+    if only_buckets is not None:
+        todo_wps = sorted(set(todo_wps) & set(only_buckets))
+    written_new = spark.read.parquet(_data_dir(output_dir)).filter(
+        F.col("wp").isin(todo_wps)
     )
     wall = time.perf_counter() - t0
     lineage_rows = (
-        written.join(new_wps, "wp")
+        written_new
         .groupBy("wp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -145,8 +148,8 @@ def run_extraction(
     )
     lineage_rows.write.mode("append").parquet(_lineage_dir(output_dir))
 
-    n_docs = written.join(new_wps, "wp").count()
-    processed = new_wps.count()
+    n_docs = written_new.count()
+    processed = written_new.select("wp").distinct().count()
     return ExtractionRun(
         output_dir=output_dir,
         n_buckets=n_buckets,

@@ -6,9 +6,11 @@ continuous form is:
 
 - ``extract_stream``: ``readStream`` over an arriving pages directory →
   ``foreachBatch`` running the SAME ``extract()`` used in batch (so
-  byte-identity per url carries over verbatim) → append to the output
-  table. Exactly-once via the streaming checkpoint + idempotent batch
-  writes.
+  byte-identity per url carries over verbatim) → output partitioned by
+  ``epoch_id`` with DYNAMIC partition overwrite, so a replayed epoch
+  (failure between sink write and checkpoint commit, or a Spark retry)
+  REPLACES its own partition instead of appending duplicates. Streaming
+  checkpoint + idempotent epoch writes = effectively exactly-once.
 - ``windowed_events_stream``: watermarked tumbling-window aggregation —
   the streaming form of the batch ``window_hourly`` registry query.
 """
@@ -47,7 +49,18 @@ def extract_stream(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         out = extract(batch_df, cfg).withColumn("epoch_id", F.lit(epoch_id))
-        out.write.mode("append").parquet(output_dir)
+        # idempotent epoch commit: dynamic partition overwrite touches
+        # ONLY the epoch_id partitions present in this batch, so a
+        # retried/replayed epoch rewrites the same files (same bytes —
+        # the pipeline is deterministic) instead of appending duplicates.
+        # The writer-level option (not a session conf) because foreachBatch
+        # hands the batch a CLONED session whose conf we don't own.
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(output_dir)
+        )
 
     return (
         stream.writeStream.foreachBatch(process)

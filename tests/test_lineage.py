@@ -80,3 +80,31 @@ def test_new_snapshot_reprocesses(spark, outdir):
     run_extraction(spark, pages, outdir, n_buckets=8, snapshot_id="snapA")
     run2 = run_extraction(spark, pages, outdir, n_buckets=8, snapshot_id="snapB")
     assert run2.processed_buckets == 8  # different snapshot: all buckets again
+
+
+def test_incremental_readback_partition_prunes(spark, outdir):
+    """The lineage commit must re-read ONLY the buckets written this run:
+    the wp isin filter has to reach the parquet scan as a partition
+    filter, so commit cost grows with the increment, not total history."""
+    pages = pages_table(spark, SF0001)
+    # first run covers buckets 0..7
+    run_extraction(
+        spark, pages, outdir, n_buckets=16, snapshot_id="snapP",
+        only_buckets=list(range(8)),
+    )
+    # the readback plan for an incremental second run (buckets 8..15)
+    # must partition-prune to exactly those wp values
+    df = spark.read.parquet(f"{outdir}/data").filter(
+        F.col("wp").isin(list(range(8, 16)))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters" in scan and "wp" in scan.split("PartitionFilters")[1]
+    # and the run itself only counts the new buckets
+    run2 = run_extraction(
+        spark, pages, outdir, n_buckets=16, snapshot_id="snapP",
+    )
+    assert run2.skipped_buckets == 8
+    assert run2.processed_buckets == 8
+    total = spark.read.parquet(f"{outdir}/data").count()
+    assert total == pages.count()

@@ -68,3 +68,33 @@ def test_windowed_stream_matches_batch_oracle(spark, tmpdir):
     a = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert a == b
+
+
+def test_extract_stream_epoch_replay_is_idempotent(spark, tmpdir):
+    """Simulate the at-least-once failure mode: the same micro-batch is
+    delivered twice (crash between sink write and checkpoint commit).
+    With epoch-partitioned dynamic overwrite the rerun must REPLACE the
+    epoch's partition, not append duplicates."""
+    from pyspark.sql import functions as F
+    from onnxocr_ray_spark.config import DEFAULT_CONFIG
+
+    pages = pages_table(spark, SF0001).limit(50)
+    out_dir = f"{tmpdir}/out"
+
+    def process(batch_df, epoch_id):
+        out = extract(batch_df, DEFAULT_CONFIG).withColumn("epoch_id", F.lit(epoch_id))
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_dir)
+        )
+
+    process(pages, 7)
+    first = spark.read.parquet(out_dir)
+    n1 = first.count()
+    rows1 = {(r.url, r.checksum) for r in first.select("url", "checksum").collect()}
+    process(pages, 7)  # replay of the SAME epoch
+    second = spark.read.parquet(out_dir)
+    assert second.count() == n1
+    assert {(r.url, r.checksum) for r in second.select("url", "checksum").collect()} == rows1
