@@ -44,7 +44,7 @@ _ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]{1,30});")
 _BLANK_RE = re.compile("[\\x00-\\x08\\x0b-\\x1f\\x7f\\u200b\\u200c\\u200d\\ufeff]")
 _WS_RUN_RE = re.compile(r"\s+")
 
-_WORD_CHAR_RE = re.compile(r"[0-9A-Za-zÀ-ÖØ-öø-ÿĀ-ɏ぀-ヿ一-鿿]")
+_WORD_CHAR_RE = re.compile(r"[0-9A-Za-zÀ-ÖØ-öø-ÿĀ-ɏ぀-ヿ一-鿿؀-ۿݐ-ݿ]")
 
 
 def _entity_sub(m: re.Match) -> str:
@@ -64,16 +64,66 @@ def decode_entities(raw: str) -> str:
     return _ENTITY_RE.sub(_entity_sub, raw)
 
 
+# RTL branch (analog of the reference's Arabic decode path,
+# rec_postprocess.py:30-53 pred_reverse + the `"arabic" in dict_path`
+# gate at :31-32): LTR-safe chars accumulate into runs, every other char
+# is its own unit, and the unit list is reversed — rendering an RTL
+# string in visual order while keeping embedded Latin/digit runs intact.
+_LTR_RUN_RE = re.compile(r"[a-zA-Z0-9 :*./%+-]")
+_ARABIC_RE = re.compile(
+    "[؀-ۿݐ-ݿࢠ-ࣿﭐ-﷿ﹰ-﻾]"
+)
+
+
+def bidi_reassemble(s: str) -> str:
+    """pred_reverse re-derivation: reverse the sequence of units, where a
+    unit is either a maximal run of LTR-safe chars or a single other char.
+    Identity on pure LTR-safe text (one unit)."""
+    units: List[str] = []
+    run: List[str] = []
+    for ch in s:
+        if _LTR_RUN_RE.match(ch):
+            run.append(ch)
+        else:
+            if run:
+                units.append("".join(run))
+                run = []
+            units.append(ch)
+    if run:
+        units.append("".join(run))
+    return "".join(reversed(units))
+
+
+def is_rtl_dominant(s: str) -> bool:
+    """Per-span analog of the reference's per-MODEL arabic-dictionary gate
+    (the engine is multilingual per document, so the gate must be content
+    based): reassemble when Arabic-script chars outnumber every other
+    non-LTR-safe char (so CJK/accented-Latin spans are untouched)."""
+    arabic = len(_ARABIC_RE.findall(s))
+    if arabic == 0:
+        return False
+    other = sum(
+        1 for ch in s if not _LTR_RUN_RE.match(ch) and not _ARABIC_RE.match(ch)
+    )
+    return arabic > other
+
+
 def ctc_normalize(raw: str) -> str:
-    """Greedy-CTC-style cleanup: decode, drop blanks, collapse repeats.
+    """Greedy-CTC-style cleanup: decode, drop blanks, collapse repeats,
+    then the RTL visual-order reassembly for Arabic-dominant spans.
 
     Order matters and is pinned by tests: entities first (so &#9; becomes a
-    tab that then collapses), blanks second, whitespace-run collapse last.
+    tab that then collapses), blanks second, whitespace-run collapse third,
+    bidi reassembly last (mirroring the reference, where pred_reverse runs
+    on the fully decoded string, rec_postprocess.py:80-81).
     """
     s = decode_entities(raw)
     s = _BLANK_RE.sub("", s)
     s = _WS_RUN_RE.sub(" ", s)
-    return s.strip()
+    s = s.strip()
+    if is_rtl_dominant(s):
+        s = bidi_reassemble(s)
+    return s
 
 
 def token_confidence(token: str) -> float:

@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 from onnxocr_ray_spark.sources.tables import load_table
 
 SEED = 42
+SYNTH_VERSION = 2  # bump when synth_page output changes: keys the cache
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 _NAV_WORDS = ["Home", "About", "Products", "Contact", "Blog", "Careers", "Login", "Search"]
@@ -106,6 +107,12 @@ def synth_page(doc_id: int, text: str, lang: str) -> bytes:
     if bucket == 6:
         # zero-width candidate: tags but no visible text -> min-size filter
         lines.append('<p><img src="/a.png"><img src="/b.png"></p>')
+    if bucket == 9:
+        # RTL bucket: an Arabic-dominant paragraph (deterministic token
+        # sequence) exercising the CTC bidi-reassembly branch
+        words = ["مرحبا", "بالعالم", "هذا", "نص", "عربي", "للاختبار", "مع", "أرقام", "123"]
+        seq = [words[(doc_id + i) % len(words)] for i in range(14)]
+        lines.append("<p>" + " ".join(seq) + "</p>")
     if bucket == 8:
         # same-row cells, narrow-left + wide-right: the wide right cell gets
         # a larger unclip offset, so its y0 is (sub-band) smaller and the
@@ -204,7 +211,9 @@ def pages_table(
     import tempfile
 
     cache_root = cache_root or os.path.join(tempfile.gettempdir(), "onnxocr_pages_cache")
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{copies}".encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{copies}|v{SYNTH_VERSION}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(cache_root, f"pages_{key}.parquet")
     if not os.path.exists(path):
         tmp = f"{path}.tmp{os.getpid()}"
