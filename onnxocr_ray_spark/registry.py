@@ -65,5 +65,6 @@ def load_all() -> Dict[str, Query]:
         textstats,
     )
     from onnxocr_ray_spark import entrypipeline  # noqa: F401
+    from onnxocr_ray_spark.sources import files  # noqa: F401
 
     return QUERIES

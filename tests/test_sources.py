@@ -34,3 +34,31 @@ def test_read_html_dir_shape_and_extract(spark, html_dir):
     assert "honest content paragraph" in out["a.html"].extracted_text
     assert "second document body" in out["b.html"].extracted_text
     assert "Home" not in out["b.html"].extracted_text  # nav stripped
+
+
+def test_b64_jsonl_source_roundtrips_into_extract(spark, tmp_path):
+    """src_base64 analog: base64-wire JSONL records decode JVM-side into
+    the pages shape and run through the full pipeline."""
+    import base64
+    import json
+
+    from onnxocr_ray_spark.operators.extract import extract
+    from onnxocr_ray_spark.sources.files import read_b64_jsonl
+    from onnxocr_ray_spark.sources.pages import page_url, synth_page
+
+    recs = []
+    for i in (2, 12, 26):
+        html = synth_page(i, "some words here for extraction test " * 5, "en")
+        recs.append(
+            {
+                "url": page_url(i, "en"),
+                "ts": "2025-01-01 00:00:00",
+                "html_b64": base64.b64encode(html).decode(),
+            }
+        )
+    p = tmp_path / "pages.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in recs))
+    pages = read_b64_jsonl(spark, str(tmp_path))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    out = extract(pages).collect()
+    assert len(out) == 3 and all(r.n_spans > 0 for r in out)
