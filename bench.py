@@ -67,11 +67,14 @@ def main() -> None:
     warm = queries["q1_pricing"].fn(spark, sf_dir)
     materialize(warm)
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings = {}
     for name in HEADLINE:
         q = queries[name]
         best = None
-        for _rep in range(2):
+        # best-of-N: this VM has bursty CPU-throttling windows (measured
+        # up to 30x); the minimum is the only stable statistic
+        for _rep in range(reps):
             df = q.fn(spark, sf_dir)
             t0 = time.perf_counter()
             materialize(df)

@@ -47,9 +47,12 @@ def run_level(cpus: int) -> dict:
     )
     pages = pages_table(spark, SF_DIR, copies=COPIES)
     n_docs = pages.count()
-    out = extract(pages)
     times = []
     for _ in range(REPS):
+        # rebuild the plan per rep: extract() persists its routed pass, so
+        # a reused DataFrame would serve reps 2+ from cache and the rep
+        # would not measure extraction work at all
+        out = extract(pages)
         t0 = time.perf_counter()
         out.write.mode("overwrite").format("noop").save()
         times.append(time.perf_counter() - t0)

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from onnxocr_ray_spark.caching import scoped_persist
 from onnxocr_ray_spark.functions import portable_md5, shingles_of, words_of
 from onnxocr_ray_spark.registry import register
-from onnxocr_ray_spark.sources.tables import load_table
+from onnxocr_ray_spark.sources.tables import load_table, spread_scan
 
 MINHASH_K = 8          # signatures
 LSH_BANDS = 4          # bands of 2 signatures each
@@ -116,8 +116,10 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", "text"
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars", "text"
+        )
     )
     schema = T.StructType(
         [
@@ -152,7 +154,9 @@ def _signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -309,7 +313,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

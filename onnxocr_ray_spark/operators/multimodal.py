@@ -19,7 +19,7 @@ from pyspark.sql import types as T
 
 from onnxocr_ray_spark.functions import portable_md5
 from onnxocr_ray_spark.registry import register
-from onnxocr_ray_spark.sources.tables import load_table
+from onnxocr_ray_spark.sources.tables import load_table, spread_scan
 
 try:  # pragma: no cover - not present in this container
     import cv2  # type: ignore
@@ -169,8 +169,10 @@ _PPM_SQL = ", ".join(
     doc="multimodal op: decode + feature-extract plumbing over binary payloads (deterministic fake decoder, ppm byte-histogram feature; cv2 drop-in)",
 )
 def mm_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
     )
     out = mm_decode_features(docs)
     # registry-facing projection: JSON-serialize the feature array (the
@@ -254,8 +256,10 @@ def mm_resize(pages_like: DataFrame, target: int = 960, payload_col: str = "payl
     doc="multimodal op: resize plumbing (DetResizeForTest analog: limit side, multiples of 32, shape_list ratios as ppm ints) over binary payloads",
 )
 def mm_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
     )
     out = mm_resize(docs)
     # registry-facing projection: ratios re-derived from the integer

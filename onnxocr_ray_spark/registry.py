@@ -61,6 +61,7 @@ def load_all() -> Dict[str, Query]:
         relational,
         relational2,
         relational3,
+        relational4,
         similarity,
         textstats,
     )
