@@ -32,8 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "20"))
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
-LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "8"))
-HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "32"))
+# Default pair is N=2 -> 4N=8: the hypervisor's own raw-CPU scaling
+# ceiling is ~0.76 for 8->32 concurrent processes (BENCH/BASELINE.md §3),
+# so higher pairs measure the host, not the plan.
+LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
+HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
 
 
 def run_level(cpus: int) -> dict:

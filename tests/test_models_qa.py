@@ -46,3 +46,32 @@ def test_sample_qa_renders(spark):
     assert "url:" in text and "det=" in text and "sha256:" in text
     # deterministic sample
     assert text == sample_qa(extract(pages_table(spark, SF0001)), n=3)
+
+
+def test_render_canvas_draws_boxes(spark):
+    from onnxocr_ray_spark.operators.extract import extract
+    from onnxocr_ray_spark.qa import render_canvas
+    from onnxocr_ray_spark.sources.pages import pages_table
+
+    from tests.conftest import SF0001
+
+    row = (
+        extract(pages_table(spark, SF0001))
+        .filter("n_spans >= 2")
+        .orderBy("url")
+        .limit(1)
+        .collect()[0]
+    )
+    canvas = render_canvas(row)
+    assert "+" in canvas and "-" in canvas and "|" in canvas
+    assert "0" in canvas  # span index 0 labeled
+    lines = canvas.splitlines()
+    assert len(lines) <= 40 and max(len(l) for l in lines) <= 100
+    # deterministic
+    assert render_canvas(row) == canvas
+
+
+def test_render_canvas_empty():
+    from onnxocr_ray_spark.qa import render_canvas
+
+    assert render_canvas({"spans": []}) == "(no spans)"
