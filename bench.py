@@ -75,8 +75,11 @@ def main() -> None:
         # best-of-N: this VM has bursty CPU-throttling windows (measured
         # up to 30x); the minimum is the only stable statistic
         for _rep in range(reps):
-            df = q.fn(spark, sf_dir)
+            # time build + execute together: extract() materializes its
+            # routed pass eagerly at build time, so timing only the final
+            # action would under-report it
             t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
             materialize(df)
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
