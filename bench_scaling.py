@@ -70,10 +70,52 @@ def run_level(cpus: int) -> dict:
     }
 
 
+def kernel_probe(procs: int, docs_per_proc: int = 2500) -> float:
+    """Hardware-ceiling probe with the ACTUAL workload: the pure-Python
+    extraction kernel (no Spark, no JVM, no Arrow) over deterministic
+    synthetic pages, one independent process per core. Returns docs/sec.
+
+    The md5-style ALU probe scales ~4.0x from 2 to 8 procs on this host,
+    but the extraction kernel is regex/memory-bound and pays SMT and
+    memory-bandwidth contention that ALU loops do not — this probe
+    measures exactly the ceiling the Spark job is subject to."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(procs) as pool:
+        rates = pool.map(_probe_worker, [docs_per_proc] * procs)
+    return sum(rates)
+
+
+def _probe_worker(n_docs: int) -> float:
+    from onnxocr_ray_spark.config import DEFAULT_CONFIG
+    from onnxocr_ray_spark.kernels.pipeline import extract_document
+    from onnxocr_ray_spark.sources.pages import synth_page
+
+    text = ("some representative document words for the scaling probe " * 12).strip()
+    payloads = [synth_page(10_000 + i, text, "en") for i in range(200)]
+    t0 = time.perf_counter()
+    for i in range(n_docs):
+        extract_document(payloads[i % 200], DEFAULT_CONFIG)
+    return n_docs / (time.perf_counter() - t0)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--probe", action="store_true")
     args = ap.parse_args()
+
+    if args.probe:
+        lo_r = kernel_probe(LOW)
+        hi_r = kernel_probe(HIGH)
+        print(json.dumps({
+            "low_procs": LOW, "high_procs": HIGH,
+            "low_docs_per_sec": round(lo_r, 1),
+            "high_docs_per_sec": round(hi_r, 1),
+            "efficiency": round((hi_r / lo_r) / (HIGH / LOW), 3),
+        }))
+        return
 
     if args.worker:
         print(json.dumps(run_level(args.worker)))
@@ -147,6 +189,15 @@ def main() -> None:
         except (ValueError, KeyError):
             pass
 
+    # hardware context for this attempt: the same kernel in bare
+    # processes (no Spark/JVM) — bounds what the host can deliver
+    try:
+        probe_eff = round(
+            (kernel_probe(HIGH) / kernel_probe(LOW)) / (HIGH / LOW), 3
+        )
+    except Exception:
+        probe_eff = None
+
     effs = sorted(p["efficiency"] for p in paired)
     median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
@@ -162,6 +213,7 @@ def main() -> None:
         "bestof_efficiency": bestof_eff,
         "speedup": round(lo["best_sec"] / hi["best_sec"], 3),
         "efficiency": round(efficiency, 3),
+        "kernel_probe_efficiency": probe_eff,
         "pass": efficiency >= 0.8,
         "sf_dir": SF_DIR,
         "copies": COPIES,

@@ -39,6 +39,12 @@ def release_persisted() -> int:
     an unpersisted DataFrame if someone still holds a lazy reference."""
     n = 0
     while _LIVE:
-        _LIVE.pop().unpersist(blocking=False)
-        n += 1
+        df = _LIVE.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            # handle from a stopped SparkSession: its cache died with the
+            # session, nothing to release
+            pass
     return n

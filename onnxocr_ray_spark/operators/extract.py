@@ -409,25 +409,37 @@ def extract_routed(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     return pages.select("url", "html").mapInPandas(gen, schema=ROUTED_SCHEMA)
 
 
+SIZE_COL = "html_size"
+
+
 def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
             doc_partitions: Optional[int] = None,
             span_partitions: Optional[int] = None,
             straggler_html_bytes: int = 1 << 20) -> DataFrame:
-    """Full pipeline with single-pass straggler routing.
+    """Full pipeline with straggler routing. Two strategies, picked by
+    what the input table offers:
 
     pages(url, html, ...) -> (url, spans, extracted_text, n_spans, checksum)
 
-    The pages scan is read EXACTLY ONCE: ``extract_routed`` decides per
-    row inside the fused kernel whether a document is typical (processed
-    to completion in place) or a heavy-tail straggler (detect only). The
-    routed output — output-sized, i.e. extracted spans, not raw html —
-    is persisted MEMORY_AND_DISK so the small/big consumers share one
-    computation; at 100 TB that spill is a fraction of a second full
-    re-read of the html column, which is what the previous eager-probe
-    design paid. Straggler spans then explode across the cluster so one
-    giant page cannot straggle a task. Both paths run identical kernels
-    with identical inputs — byte-identity is proven by tests regardless
-    of which path a document takes.
+    1. **Sized tables** (an ``html_size`` column materialized at ingest —
+       every WARC record carries its length, and an Iceberg ingest
+       keeps it as a stats column): the straggler probe scans ONLY that
+       8-byte column (row-group min/max stats prune it further), so on a
+       clean corpus slice the plan collapses to the pure zero-overhead
+       fused pass — no cache, no extra stages, one scan of html.
+       When stragglers exist, the two branches carry pushed
+       ``html_size`` filters; only row groups mixing both classes are
+       read twice.
+    2. **Exact-shape tables** (no size column): single-pass per-row
+       routing — ``extract_routed`` decides inside the fused kernel,
+       the output-sized result is persisted and eagerly materialized
+       once, and both branch consumers read the cache. The html column
+       is still read exactly once.
+
+    Straggler spans explode across the cluster so one giant page cannot
+    straggle a task. All paths run identical kernels with identical
+    inputs — byte-identity is proven by tests regardless of which path
+    a document takes.
     """
     from onnxocr_ray_spark.caching import scoped_persist
 
@@ -442,11 +454,17 @@ def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
         # input files may be ordered by crawl host (skewed localities)
         pages = pages.repartition(doc_partitions, "url")
 
+    if SIZE_COL in pages.columns:
+        return _extract_sized(pages, cfg, span_partitions, straggler_html_bytes)
+
     # this call owns the cache lifecycle of ITS routed pass only: release
     # the previous call's handle (streaming epochs / bench loops), persist
     # the new one for the two branch consumers below
     while _PREV_ROUTED:
-        _PREV_ROUTED.pop().unpersist(blocking=False)
+        try:
+            _PREV_ROUTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # previous handle belonged to a stopped session
     routed = scoped_persist(extract_routed(pages, cfg, straggler_html_bytes))
     _PREV_ROUTED.append(routed)
     # Build the cache EAGERLY before the union job: the small/big legs are
@@ -470,5 +488,32 @@ def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
         .select("url", F.col("det_spans").alias("spans"))
         .repartition(max(4, parallelism // 4), "url")
     )
+    rec_big = classify_recognize_exploded(big, cfg, span_partitions=span_partitions)
+    return assemble(rec_small.unionByName(rec_big), cfg)
+
+
+def _extract_sized(pages: DataFrame, cfg: ExtractConfig,
+                   span_partitions: Optional[int],
+                   straggler_html_bytes: int) -> DataFrame:
+    """Sized-table strategy: metadata-scale probe + size-filtered branches.
+
+    The probe reads ONLY the ingest-materialized ``html_size`` column
+    (parquet row-group stats prune groups whose max size is under the
+    threshold), never the html bytes — fixing the round-1 flaw where the
+    elision probe re-read the fattest column of the whole corpus."""
+    is_big = F.col(SIZE_COL) > straggler_html_bytes
+    has_big = pages.filter(is_big).select(SIZE_COL).limit(1).count() > 0
+    if not has_big:
+        # clean corpus slice: the plan IS the fused zero-shuffle pass
+        return assemble(extract_fused(pages.select("url", "html"), cfg), cfg)
+    small = pages.filter(~is_big | F.col(SIZE_COL).isNull()).select("url", "html")
+    rec_small = extract_fused(small, cfg)
+    parallelism = pages.sparkSession.sparkContext.defaultParallelism
+    big_pages = (
+        pages.filter(is_big)
+        .select("url", "html")
+        .repartition(max(4, parallelism // 4), "url")
+    )
+    big = detect(big_pages, cfg).drop("n_regions")
     rec_big = classify_recognize_exploded(big, cfg, span_partitions=span_partitions)
     return assemble(rec_small.unionByName(rec_big), cfg)

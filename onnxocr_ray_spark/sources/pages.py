@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 from onnxocr_ray_spark.sources.tables import load_table
 
 SEED = 42
-SYNTH_VERSION = 2  # bump when synth_page output changes: keys the cache
+SYNTH_VERSION = 3  # bump when synth_page output changes: keys the cache
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 _NAV_WORDS = ["Home", "About", "Products", "Contact", "Blog", "Careers", "Login", "Search"]
@@ -148,6 +148,12 @@ PAGES_SCHEMA = T.StructType(
         T.StructField("html", T.BinaryType(), True),
         T.StructField("text", T.StringType(), True),
         T.StructField("lang", T.StringType(), True),
+        # ingest-derived payload size (every WARC record carries its
+        # length): lets extract() route stragglers from a metadata-scale
+        # probe instead of reading the html column. The north-rule input
+        # shape is the first five columns; this is the standard auxiliary
+        # stat an Iceberg ingest materializes alongside.
+        T.StructField("html_size", T.LongType(), True),
     ]
 )
 
@@ -175,6 +181,10 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, copies: int = 1) -> D
         for pdf in batches:
             for c in range(copies):
                 ids = [int(d) + c * 10_000_019 for d in pdf.doc_id]
+                htmls = [
+                    synth_page(i, t if isinstance(t, str) else "", l)
+                    for i, t, l in zip(ids, pdf.text, pdf.lang)
+                ]
                 yield pd.DataFrame(
                     {
                         "url": [
@@ -183,12 +193,10 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, copies: int = 1) -> D
                         "warc_ts": [
                             page_ts(i).replace(tzinfo=None) for i in ids
                         ],
-                        "html": [
-                            synth_page(i, t if isinstance(t, str) else "", l)
-                            for i, t, l in zip(ids, pdf.text, pdf.lang)
-                        ],
+                        "html": htmls,
                         "text": pdf.text,
                         "lang": pdf.lang,
+                        "html_size": [len(h) for h in htmls],
                     }
                 )
 

@@ -24,8 +24,13 @@ def oracle_results():
     return extract_serial(pages_local(rows))
 
 
-def _collect_spark(spark, cfg, doc_partitions=None, straggler_html_bytes=256 << 10):
+def _collect_spark(spark, cfg, doc_partitions=None, straggler_html_bytes=256 << 10,
+                   exact_shape=False):
     pages = pages_from_documents(spark, SF0001)
+    if exact_shape:
+        # the north-rule 5-column table (no ingest size column): exercises
+        # the single-pass per-row routed strategy instead of the sized one
+        pages = pages.drop("html_size")
     out = extract(
         pages, cfg,
         doc_partitions=doc_partitions,
@@ -65,6 +70,23 @@ def test_parity_all_docs_through_straggler_path(spark, oracle_results):
     (SURVEY.md §4.3.3)."""
     _assert_parity(
         _collect_spark(spark, DEFAULT_CONFIG, straggler_html_bytes=0), oracle_results
+    )
+
+
+def test_parity_exact_shape_routed_path(spark, oracle_results):
+    """No html_size column: the per-row routed strategy (persisted single
+    pass) must be byte-identical to the sized strategy and the oracle."""
+    _assert_parity(
+        _collect_spark(spark, DEFAULT_CONFIG, exact_shape=True), oracle_results
+    )
+
+
+def test_parity_exact_shape_all_stragglers(spark, oracle_results):
+    _assert_parity(
+        _collect_spark(
+            spark, DEFAULT_CONFIG, exact_shape=True, straggler_html_bytes=0
+        ),
+        oracle_results,
     )
 
 

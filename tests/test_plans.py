@@ -8,6 +8,7 @@ of these fails here long before it shows up as a 100 TB regression.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from onnxocr_ray_spark.operators.extract import extract
 from onnxocr_ray_spark.registry import load_all
@@ -72,20 +73,55 @@ def distinct_parquet_scans(df) -> int:
     return len(set(re.findall(r"Scan parquet\s*\((\d+)\)", s)))
 
 
-def test_extract_reads_html_exactly_once(spark, queries):
-    # single-pass routing invariant: the pages parquet is scanned ONCE
-    # (inside the persisted routed pass); both branch consumers read the
-    # cached routed output, never the parquet again
+def test_sized_clean_corpus_is_pure_fused_plan(spark, queries):
+    # sized table + no straggler: the metadata probe elides the straggler
+    # machinery entirely — one parquet scan, no cache, no exchanges
     df = extract(pages_table(spark, SF0001))
+    plan = plan_of(df)
+    assert distinct_parquet_scans(df) == 1
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan
+    assert "InMemoryTableScan" not in plan
+
+
+def test_sized_probe_reads_only_size_column(spark, queries):
+    # the straggler probe must never touch html: its scan reads only the
+    # ingest-materialized size column, with the predicate pushed down
+    pages = pages_table(spark, SF0001)
+    probe = pages.filter(F.col("html_size") > (1 << 20)).select("html_size").limit(1)
+    scan = next(
+        l for l in plan_of(probe).splitlines() if "FileScan parquet" in l
+    )
+    cols = scan.split("FileScan parquet [")[1].split("]")[0]
+    names = {c.split("#")[0] for c in cols.split(",")}
+    assert names == {"html_size"}, names
+    assert "html_size" in scan.split("PushedFilters")[-1]
+
+
+def test_sized_straggler_branches_filter_on_size(spark, queries):
+    # 0-byte threshold: both branches exist, each scan carries a pushed
+    # html_size predicate so row groups are pruned by stats, and the
+    # span-explode machinery is active
+    df = extract(pages_table(spark, SF0001), straggler_html_bytes=0)
+    plan = plan_of(df)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("html_size" in s.split("PushedFilters")[-1] for s in scans), plan
+    assert "Generate" in plan
+
+
+def test_exact_shape_reads_html_exactly_once(spark, queries):
+    # per-row routed strategy (no size column): the pages parquet is
+    # scanned ONCE inside the persisted routed pass; both branch
+    # consumers read the cached output, never the parquet again
+    df = extract(pages_table(spark, SF0001).drop("html_size"))
     assert distinct_parquet_scans(df) == 1
     assert "InMemoryTableScan" in plan_of(df)
 
 
-def test_extract_single_scan_even_when_all_docs_are_stragglers(spark, queries):
-    # 0-byte threshold routes EVERY document down the straggler branch;
-    # the invariant still holds: one html scan, branches read the cache,
-    # span-explode machinery present
-    df = extract(pages_table(spark, SF0001), straggler_html_bytes=0)
+def test_exact_shape_single_scan_even_when_all_docs_are_stragglers(spark, queries):
+    df = extract(
+        pages_table(spark, SF0001).drop("html_size"), straggler_html_bytes=0
+    )
     assert distinct_parquet_scans(df) == 1
     assert "Generate" in plan_of(df)  # posexplode active
 
