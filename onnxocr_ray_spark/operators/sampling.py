@@ -1,0 +1,124 @@
+"""Corpus sampling / mixing / skew-handling operators.
+
+Training-data pipelines constantly subsample, re-mix, and aggregate over
+skewed keys. Three engine patterns, each oracle-backed:
+
+- ``sample_systematic``   — deterministic hash-mod sampling (the portable
+  form of TABLESAMPLE: same rows on any engine, any partitioning, any
+  cluster size — RNG-based sampling is none of those).
+- ``corpus_mix``          — per-language quota by quality rank (the data
+  mixing step before training: top-N per stratum).
+- ``salted_type_stats``   — two-phase salted aggregation: partial
+  aggregate on (key, salt), final on key. Demonstrates the skew recipe
+  for hot keys where a plain groupBy would funnel one key's rows into
+  one reducer; output identical to the direct aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from onnxocr_ray_spark.functions import portable_md5
+from onnxocr_ray_spark.registry import register
+from onnxocr_ray_spark.sources.tables import load_table
+
+
+@register(
+    "sample_systematic",
+    sql="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE cast(('0x' || substr(md5('sample|' || cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 7
+    """,
+    doc=(
+        "training-data op: deterministic systematic sampling (~7%) via "
+        "content-hash mod — identical sample on any engine/partitioning, "
+        "unlike RNG TABLESAMPLE"
+    ),
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 100
+    return docs.filter(bucket < 7).select("doc_id", "lang")
+
+
+@register(
+    "corpus_mix",
+    sql="""
+    SELECT doc_id, lang, quality, rank FROM (
+      SELECT doc_id, lang,
+             round(least((length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+                         / 100.0, 1.0) * 0.5
+                   + length(regexp_replace(text, '[^a-z]', '', 'g'))
+                     / greatest(length(text), 1)::DOUBLE * 0.5, 6) AS quality,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY round(least((length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+                              / 100.0, 1.0) * 0.5
+                        + length(regexp_replace(text, '[^a-z]', '', 'g'))
+                          / greatest(length(text), 1)::DOUBLE * 0.5, 6) DESC,
+                        doc_id
+             ) AS rank
+      FROM documents
+    ) WHERE rank <= 20
+    """,
+    doc=(
+        "training-data op: corpus mixing — per-language quota (top 20 by "
+        "quality score, deterministic tiebreak) — the stratified keep list "
+        "a data-mixing stage emits"
+    ),
+)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_tokens = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    length = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    quality = F.round(
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.5 + alpha / length * 0.5, 6
+    )
+    w = W.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        docs.select("doc_id", "lang", quality.alias("quality"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+@register(
+    "salted_type_stats",
+    sql="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "training-data op: skew-safe aggregation — partial aggregate on "
+        "(key, salt) then final on key; 5 event_type values over 100k rows "
+        "is exactly the hot-key shape where a direct groupBy funnels each "
+        "key into one reducer. Output identical to the direct aggregation "
+        "(the oracle), plan carries two exchanges with the salted key first."
+    ),
+)
+def salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n_salts = 16
+    # deterministic salt (hash of the row id, NOT rand(): retries/replays
+    # must route a row to the same salt)
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("psum"), 2).alias("total"),
+            F.round(F.max("pmax"), 4).alias("max_value"),
+        )
+    )

@@ -63,6 +63,7 @@ def load_all() -> Dict[str, Query]:
         relational2,
         relational3,
         relational4,
+        sampling,
         similarity,
         textstats,
     )

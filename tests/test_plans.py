@@ -160,3 +160,12 @@ def test_simhash_pairs_uses_banded_equijoin(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band" in plan
+
+
+def test_salted_agg_has_two_phase_exchanges(spark, queries):
+    # the skew recipe: first exchange keys on (event_type, salt), the
+    # final on event_type alone
+    plan = plan_of(queries["salted_type_stats"].fn(spark, SF0001))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) >= 2, plan
+    assert any("salt" in l for l in exchanges), plan
