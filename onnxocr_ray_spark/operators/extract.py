@@ -13,11 +13,14 @@ architecture is Spark-first, not a translation:
   span-parallel while remaining byte-identical to the serial oracle no
   matter how spans are re-partitioned (SURVEY.md §4.1.1 determinism
   coupling, solved structurally).
-- the production ``extract()`` routes documents by a cheap JVM-side
-  ``length(html)`` pre-pass: typical documents take ``extract_fused``
-  (ALL three stages in one mapInPandas — zero shuffles, one Arrow
-  crossing); heavy-tail documents take detect -> span-explode ->
-  recognize -> regroup so one giant page cannot straggle a task. The
+- the production ``extract()`` routes heavy-tail documents away from the
+  fused fast path (``extract_fused``: ALL three stages in one
+  mapInPandas — zero shuffles, one Arrow crossing) into detect ->
+  span-explode -> recognize -> regroup so one giant page cannot straggle
+  a task. Routing strategy depends on the input: an ingest-materialized
+  ``html_size`` column gives a metadata-scale probe (clean corpora run
+  the pure fused plan); exact-shape tables use single-pass per-row
+  routing over a persisted kernel output (html read exactly once). The
   stage-separated forms (``detect``, ``classify_recognize_grouped``,
   ``classify_recognize_exploded``) remain public — they are the
   /detection /classification /recognition endpoint analogs. All paths
