@@ -87,7 +87,24 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    extract_sec = timings.get("extract_e2e", 0.0) or 1e-9
+
+    # Throughput figure on a corpus big enough that per-job fixed costs
+    # (probe, scheduling, plan build) amortize — the quantity that
+    # matters at 100 TB. The 5k-doc headline timing above is dominated
+    # by ~1s of fixed cost at local[32].
+    from onnxocr_ray_spark.operators.extract import extract
+    from onnxocr_ray_spark.sources.pages import pages_table
+
+    tp_pages = pages_table(spark, sf_dir, copies=4)
+    tp_docs = tp_pages.count()
+    tp_best = None
+    for _rep in range(reps):
+        t0 = time.perf_counter()
+        materialize(extract(tp_pages))
+        dt = time.perf_counter() - t0
+        tp_best = dt if tp_best is None or dt < tp_best else tp_best
+        spark.catalog.clearCache()
+
     out = {
         "metric": "headline query wall-clock (full pipeline + corpus operators)",
         "value": total,
@@ -96,7 +113,9 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "docs": n_docs,
-        "extract_docs_per_sec": round(n_docs / extract_sec, 2),
+        "extract_docs_per_sec": round(tp_docs / tp_best, 2),
+        "throughput_corpus_docs": tp_docs,
+        "throughput_sec": round(tp_best, 3),
     }
     # embed the latest two-cluster-size scaling evidence (written by
     # bench_scaling.py; methodology + hardware calibration in
