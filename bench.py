@@ -1,13 +1,28 @@
 #!/usr/bin/env python
-"""Benchmark runner (driver contract).
+"""Benchmark runner (driver contract), throttle-robust.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric", "value", "unit", "queries", "sf", ...}.
 
 Timing excludes session startup; each query is materialized with the
-noop sink (full execution, no driver-side result pull — except top-k
-queries whose result is tiny by construction).
+noop sink (full execution, no driver-side result pull).
+
+This VM throttles CPU in minutes-long bursts (identical jobs measured
+22.8 s -> 70.9 s across windows; BENCH/BASELINE.md §3), so a single
+timing window can over-report everything 3-4x. Methodology:
+
+1. A Spark-free kernel probe gates the start: if the host is visibly
+   throttled (single-process extraction rate under PROBE_FLOOR), wait
+   up to ~4 minutes for the window to pass before measuring.
+2. The headline list is timed in up to MAX_PASSES full passes, each a
+   separate time window (separated by a pause when the pass looks
+   throttled); the per-query minimum across passes is reported. A pass
+   whose running total already beats TARGET_TOTAL ends the loop early,
+   so a clean host costs one pass.
+3. The probe rate before each pass is recorded in the output for
+   honesty; BENCH/scaling.json (bench_scaling.py, probe-gated paired
+   rounds) is embedded as the two-cluster-size scaling evidence.
 """
 
 from __future__ import annotations
@@ -32,10 +47,39 @@ HEADLINE = [
     "window_hourly",
 ]
 
+# Clean-host calibration (BENCH/BASELINE.md §3): single-process kernel
+# rate measured 900-1200 docs/s across clean windows; throttled windows
+# read far lower. The floor is deliberately generous so a merely-busy
+# host still records (the multi-pass minimum handles moderate noise).
+PROBE_FLOOR = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "500"))
+# Clean-window headline total measured 13-17 s at local[32]/sf0.1; a
+# pass whose total-of-minimums is under this is accepted as clean.
+TARGET_TOTAL = float(os.environ.get("SPARK_GRAFT_TARGET_TOTAL", "22"))
+MAX_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+PASS_PAUSE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_PAUSE", "45"))
+
 
 def materialize(df) -> int:
     df.write.mode("overwrite").format("noop").save()
     return 0
+
+
+def kernel_probe_rate() -> float:
+    """Single-process extraction-kernel docs/s (Spark-free, ~1.5 s)."""
+    from bench_scaling import _probe_worker
+
+    return _probe_worker(1500)
+
+
+def wait_for_clean_window(max_wait_sec: float = 240) -> float:
+    """Block until the host probe clears PROBE_FLOOR or the budget runs
+    out; returns the last probe rate either way."""
+    deadline = time.monotonic() + max_wait_sec
+    while True:
+        rate = kernel_probe_rate()
+        if rate >= PROBE_FLOOR or time.monotonic() >= deadline:
+            return rate
+        time.sleep(min(30, max(1, deadline - time.monotonic())))
 
 
 def main() -> None:
@@ -67,25 +111,30 @@ def main() -> None:
     warm = queries["q1_pricing"].fn(spark, sf_dir)
     materialize(warm)
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings = {}
-    for name in HEADLINE:
-        q = queries[name]
-        best = None
-        # best-of-N: this VM has bursty CPU-throttling windows (measured
-        # up to 30x); the minimum is the only stable statistic
-        for _rep in range(reps):
+    probe_rates = [wait_for_clean_window()]
+
+    timings: dict = {}
+    for pass_i in range(MAX_PASSES):
+        for name in HEADLINE:
+            q = queries[name]
             # time build + execute together: extract() materializes its
-            # routed pass eagerly at build time, so timing only the final
-            # action would under-report it
+            # routed pass eagerly at build time on exact-shape tables, so
+            # timing only the final action would under-report it
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             materialize(df)
             dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        total = sum(timings.values())
+        if total <= TARGET_TOTAL or pass_i == MAX_PASSES - 1:
+            break
+        # pass looked throttled: let the window move on, then re-gate
+        time.sleep(PASS_PAUSE_SEC)
+        probe_rates.append(wait_for_clean_window(max_wait_sec=120))
 
+    timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)
 
     # Throughput figure on a corpus big enough that per-job fixed costs
@@ -98,7 +147,7 @@ def main() -> None:
     tp_pages = pages_table(spark, sf_dir, copies=4)
     tp_docs = tp_pages.count()
     tp_best = None
-    for _rep in range(reps):
+    for _rep in range(3):
         t0 = time.perf_counter()
         materialize(extract(tp_pages))
         dt = time.perf_counter() - t0
@@ -116,6 +165,8 @@ def main() -> None:
         "extract_docs_per_sec": round(tp_docs / tp_best, 2),
         "throughput_corpus_docs": tp_docs,
         "throughput_sec": round(tp_best, 3),
+        "probe_docs_per_sec": [round(r, 1) for r in probe_rates],
+        "passes": len(probe_rates),
     }
     # embed the latest two-cluster-size scaling evidence (written by
     # bench_scaling.py; methodology + hardware calibration in
@@ -133,6 +184,8 @@ def main() -> None:
             "high_docs_per_sec": s["high"]["docs_per_sec"],
             "efficiency": s["efficiency"],
             "pass": s["pass"],
+            "methodology": s.get("methodology"),
+            "clean_rounds": s.get("clean_rounds"),
         }
     print(json.dumps(out))
 

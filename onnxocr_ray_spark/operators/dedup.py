@@ -31,9 +31,16 @@ from onnxocr_ray_spark.sources.tables import load_table, spread_scan
 MINHASH_K = 8          # signatures
 LSH_BANDS = 4          # bands of 2 signatures each
 SHINGLE_N = 2          # word bigrams
-SIMHASH_BITS = 16
+# 64-bit signature (the standard width: Manku et al., WWW'07): at corpus
+# scale a 16-bit signature has only 65,536 distinct values and each
+# 4-bit band only 16 — the banded join degenerates to all-pairs/16. With
+# 4x16-bit bands the band key space is 4x65,536 and band collisions are
+# genuine near-dup candidates.
+SIMHASH_BITS = 64
 
+# two bits per md5 hex char: char value's bit0 (odd digits) and bit1
 _ODD_HEX = ["1", "3", "5", "7", "9", "b", "d", "f"]
+_B2_HEX = ["2", "3", "6", "7", "a", "b", "e", "f"]
 
 
 # --- exact dedup ---
@@ -280,12 +287,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ---
 
+_ODD_IN = ",".join(f"'{c}'" for c in _ODD_HEX)
+_B2_IN = ",".join(f"'{c}'" for c in _B2_HEX)
+
+# bits 1..32 = parity (bit0) of hex chars 1..32; bits 33..64 = bit1 of
+# hex chars 1..32 — 64 independent bits from ONE md5 per token, portable
+# to DuckDB verbatim
 _SIMHASH_SQL = f"""
     SELECT doc_id,
            array_to_string(
-             [CASE WHEN list_sum([CASE WHEN substr(h, j, 1) IN ('1','3','5','7','9','b','d','f')
+             [CASE WHEN list_sum([CASE WHEN substr(h, j, 1) IN ({_ODD_IN})
                                        THEN 1 ELSE -1 END for h in hashes]) > 0
-                   THEN '1' ELSE '0' END for j in range(1, {SIMHASH_BITS + 1})],
+                   THEN '1' ELSE '0' END for j in range(1, 33)],
+             '')
+           || array_to_string(
+             [CASE WHEN list_sum([CASE WHEN substr(h, j, 1) IN ({_B2_IN})
+                                       THEN 1 ELSE -1 END for h in hashes]) > 0
+                   THEN '1' ELSE '0' END for j in range(1, 33)],
              '') AS simhash
     FROM (
       SELECT doc_id,
@@ -300,16 +318,17 @@ _SIMHASH_SQL = f"""
 @register(
     "dedup_simhash",
     sql=_SIMHASH_SQL,
-    doc="training-data op: SimHash signature (bit votes over token md5 hex parity)",
+    doc="training-data op: 64-bit SimHash signature (2 bit-votes per token-md5 hex char)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-batched Python path: the Column-expression formulation
-    # (16 nested aggregate-lambdas over the token hash list) is evaluated
+    # (64 nested aggregate-lambdas over the token hash list) is evaluated
     # interpreted by Catalyst at ~10x the CPU of hashlib — same
     # fast-path rationale as _signed above; the DuckDB oracle pins the
     # output bit-for-bit.
     import hashlib
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -322,7 +341,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("simhash", T.StringType()),
         ]
     )
-    odd = set(_ODD_HEX)
 
     def gen(batches):
         md5 = lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
@@ -336,12 +354,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if w and w not in seen:
                         seen.add(w)
                         words.append(w)
-                hashes = [md5(w) for w in words]
-                bits = []
-                for j in range(SIMHASH_BITS):
-                    vote = sum(1 if h[j] in odd else -1 for h in hashes)
-                    bits.append("1" if vote > 0 else "0")
-                out.append("".join(bits))
+                if not words:
+                    out.append("0" * SIMHASH_BITS)
+                    continue
+                # vectorized voting: hex chars -> nibble values; bit j of
+                # the signature is vote(bit0 of char j) for j<32, then
+                # vote(bit1 of char j-32) — the exact mirror of the SQL
+                codes = np.frombuffer(
+                    "".join(md5(w) for w in words).encode("ascii"), dtype=np.uint8
+                ).reshape(len(words), 32)
+                vals = np.where(codes >= 97, codes - 87, codes - 48)
+                lsb = ((vals & 1).astype(np.int32) * 2 - 1).sum(axis=0)
+                b2 = (((vals >> 1) & 1).astype(np.int32) * 2 - 1).sum(axis=0)
+                votes = np.concatenate([lsb, b2])
+                out.append("".join("1" if v > 0 else "0" for v in votes))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "simhash": out})
 
     return docs.mapInPandas(gen, schema=schema)
@@ -425,7 +451,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash candidate pairs: banded Hamming join (completes SimHash as
 # an actual dedup, not just a signature) ---
 
-SIMHASH_HAMMING_K = 3   # with 4 bands of 4 bits, banding is EXACT at k=3:
+SIMHASH_HAMMING_K = 3   # with 4 bands of 16 bits, banding is EXACT at k=3:
 SIMHASH_N_BANDS = 4     # <=3 differing bits leave >=1 band untouched
 _BAND_W = SIMHASH_BITS // SIMHASH_N_BANDS
 
@@ -446,14 +472,14 @@ _HAMMING_SQL = "(" + " + ".join(
     """,
     doc=(
         "training-data op: SimHash near-dup pairs via banded Hamming join — "
-        "4x4-bit bands, equi-join per band (pigeonhole-complete at Hamming<=3), "
+        "4x16-bit bands, equi-join per band (pigeonhole-complete at Hamming<=3), "
         "exact popcount verify; oracle uses the all-pairs form at oracle scale"
     ),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scalable plan: explode each signature into its 4 bit-bands and
     # equi-join on (band_idx, band_bits) — candidates are band collisions
-    # only, shuffle key space = bands x 2^band_width. By pigeonhole, any
+    # only, shuffle key space = bands x 2^16. By pigeonhole, any
     # pair within Hamming distance 3 shares at least one exact band, so
     # the banded candidate set is COMPLETE (identical rows to the oracle's
     # all-pairs scan) while never materializing zero-overlap pairs.
