@@ -19,6 +19,7 @@ from onnxocr_ray_spark.sources.pages import pages_table
 
 @register(
     "extract_e2e",
+    priority=95,
     sql=None,
     doc="flagship: full detect->classify->recognize->assemble extraction (src_base64..flt_dropscore composition; oracle parity in pytest)",
 )
@@ -29,6 +30,7 @@ def extract_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "detection_only",
+    priority=95,
     sql=None,
     doc="partial pipeline (POST /detection analog, app-service.py:172-223): detect + reading-order sort, boxes only",
 )
@@ -53,6 +55,7 @@ def detection_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "extract_spans",
+    priority=95,
     sql=None,
     doc="flagship detail: exploded span rows (sort_boxes order, zip_boxrec alignment, per-span scores)",
 )

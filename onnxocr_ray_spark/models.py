@@ -119,12 +119,24 @@ class OrtRecognizer:
     Re-derives the reference's batched run loop (predict_rec.py:82-120):
     width-argsort, chunks of ``batch_num``, per-chunk max aspect ratio ->
     shared dynamic width (rec_resize_norm), one session.run per chunk,
-    greedy CTC decode, scatter back."""
+    greedy CTC decode, scatter back.
+
+    ``rec_widths`` in the call contract is accepted and ignored: the
+    stand-in consumes precomputed batch widths, while the real model
+    derives the shared dynamic width from raster aspect ratios inside
+    each chunk (the reference does the same, predict_rec.py:93-101)."""
 
     def __init__(self, model_path: str, charset, image_shape=(3, 48, 320),
                  batch_num: int = 6):
         from onnxocr_ray_spark.preprocess import ctc_greedy_decode, rec_resize_norm
 
+        if not charset:
+            # an empty charset would IndexError inside ctc_greedy_decode on
+            # the first non-blank prediction; fail at construction instead
+            raise ValueError(
+                "OrtRecognizer requires the model's charset (the decode "
+                "dictionary the reference loads from rec_char_dict_path)"
+            )
         self._session = get_session(model_path)
         self._input = self._session.get_inputs()[0].name
         self._shape = image_shape
@@ -133,7 +145,7 @@ class OrtRecognizer:
         self._pre = rec_resize_norm
         self._decode = ctc_greedy_decode
 
-    def __call__(self, images):
+    def __call__(self, images, rec_widths=None):
         import numpy as np
 
         n = len(images)
@@ -157,9 +169,17 @@ def classifier_provider(model_path: Optional[str] = None) -> Callable:
     """Returns the classify callable a stage should use — the real ORT
     session wrapper when a model path is configured and onnxruntime is
     present, the deterministic stand-in otherwise. Both are plain
-    callables built lazily INSIDE the worker, so a config swap (ship the
-    .onnx via --files / SparkFiles and pass its path) is the only change
-    needed to run real models."""
+    callables built lazily INSIDE the worker (ship the .onnx via
+    --files / SparkFiles and pass its path).
+
+    Call-contract note: both families take one batch list, but the item
+    REPRESENTATION differs — the stand-ins consume the extraction
+    kernel's text-span payloads (``Region.raw``), the Ort wrappers
+    consume HxWx3 uint8 rasters. Swapping in a real model therefore also
+    requires the span->raster step (crop + perspective transform of the
+    source image) in the stage feeding the provider; that wiring lives
+    with the stage, not here. ``tests/test_models_qa.py`` pins both
+    contracts with synthetic rasters."""
     if model_path is not None:
         if not HAVE_ORT:
             raise RuntimeError(
@@ -172,11 +192,19 @@ def classifier_provider(model_path: Optional[str] = None) -> Callable:
 
 def recognizer_provider(model_path: Optional[str] = None,
                         charset: Optional[list] = None) -> Callable:
+    """See classifier_provider for the call-contract note. ``charset``
+    is REQUIRED when ``model_path`` is set (ValueError otherwise)."""
     if model_path is not None:
         if not HAVE_ORT:
             raise RuntimeError(
                 f"model path {model_path!r} configured but onnxruntime is "
                 "not installed on this worker"
             )
-        return OrtRecognizer(model_path, charset or [])  # pragma: no cover
+        if not charset:
+            raise ValueError(
+                f"model path {model_path!r} configured without a charset; "
+                "pass the model's decode dictionary (the reference's "
+                "rec_char_dict_path contents)"
+            )
+        return OrtRecognizer(model_path, charset)  # pragma: no cover
     return StandinRecognizer()

@@ -13,6 +13,9 @@
 
 from __future__ import annotations
 
+import warnings
+from typing import Tuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,9 +29,11 @@ from onnxocr_ray_spark.sources.tables import load_table
 _CC_MAX_ITERS = 10
 
 
-def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected near-dup edges: strict 2-signature MinHash match
-    (same candidate rule as dedup_near_canonical, relational2.py)."""
+def _lsh_edges(spark: SparkSession, sf_dir: str) -> Tuple[DataFrame, DataFrame]:
+    """Near-dup graph inputs: returns ``(nodes, pairs)`` — the node set
+    ``(doc_id)`` and the undirected candidate edges ``(id_a, id_b)`` from
+    a strict 2-signature MinHash match (same candidate rule as
+    dedup_near_canonical, relational2.py)."""
     from onnxocr_ray_spark.operators.dedup import _signed
 
     sigs = scoped_persist(
@@ -109,6 +114,7 @@ def min_label_propagate(nodes: DataFrame, pairs: DataFrame,
     labels = scoped_persist(
         nodes.select("doc_id", F.col("doc_id").alias("canonical_id"))
     )
+    changed = 0
     for _ in range(max_iters):
         # each node takes min(own label, neighbors' labels)
         neighbor_min = (
@@ -116,25 +122,33 @@ def min_label_propagate(nodes: DataFrame, pairs: DataFrame,
             .groupBy(F.col("u").alias("doc_id"))
             .agg(F.min("canonical_id").alias("nmin"))
         )
+        new = F.least(
+            F.col("canonical_id"),
+            F.coalesce(F.col("nmin"), F.col("canonical_id")),
+        )
+        # carry a per-row change flag out of the SAME propagation join, so
+        # the convergence probe is one sum() over the persisted result —
+        # no extra new-vs-old join per round
         new_labels = scoped_persist(
             labels.join(neighbor_min, "doc_id", "left").select(
                 "doc_id",
-                F.least(
-                    F.col("canonical_id"),
-                    F.coalesce(F.col("nmin"), F.col("canonical_id")),
-                ).alias("canonical_id"),
+                new.alias("canonical_id"),
+                (new != F.col("canonical_id")).cast("long").alias("chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("chg")).first()[0] or 0
+        labels = new_labels.select("doc_id", "canonical_id")
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"min_label_propagate: labels still changing after {max_iters} "
+            f"rounds ({changed} rows); a component's diameter exceeds the "
+            "round budget — returning PARTIAL labels. Raise max_iters for "
+            "deep graphs (near-dup clusters converge in <=3 rounds).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -167,12 +181,37 @@ def min_label_propagate(nodes: DataFrame, pairs: DataFrame,
     ),
 )
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     ev = load_table(spark, sf_dir, "events")
     k = 64
     hashed = ev.select(
         portable_md5(F.col("user_id").cast("string")).alias("h")
-    ).distinct()
-    topk = hashed.orderBy("h").limit(k)
+    )
+
+    # Per-partition KMV state (the classic mergeable-sketch shape):
+    # each partition keeps its k smallest DISTINCT hashes in a bounded
+    # numpy buffer and emits <=k rows, so the global TakeOrdered merges
+    # k x n_partitions rows. This replaces a distinct() pre-pass — a
+    # full shuffle of every distinct hash — with zero shuffles before
+    # the (tiny) final merge; duplicates cannot change the k-minimum
+    # set, and capping after each Arrow batch bounds memory at O(k).
+    def topk_part(batches):
+        state = np.array([], dtype=object)
+        for pdf in batches:
+            u = pd.unique(pdf["h"])
+            state = np.sort(np.union1d(state, u))[:k]
+        if len(state):
+            yield pd.DataFrame({"h": state})
+
+    part_topk = hashed.mapInPandas(
+        topk_part, schema=T.StructType([T.StructField("h", T.StringType())])
+    )
+    # distinct BEFORE the take: the same hash can reach the top-k of two
+    # partitions; on <= k*n_partitions rows this dedup is negligible
+    topk = part_topk.distinct().orderBy("h").limit(k)
     # kth-min hash as a fraction of the hash space: first 15 hex chars
     # (60 bits) / 16^15 — identical arithmetic on both engines
     stats = topk.agg(

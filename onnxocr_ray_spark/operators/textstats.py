@@ -151,6 +151,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_fingerprint",
+    priority=5,
     sql="""
     SELECT doc_id,
            substr(md5(lower(trim(text))), 1, 16) AS fp,
@@ -173,6 +174,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_stats_by_lang",
+    priority=5,
     sql="""
     SELECT lang, count(*) AS n_docs,
            round(avg(n_chars), 4) AS avg_chars,
