@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from onnxocr_ray_spark.caching import scoped_persist
 from onnxocr_ray_spark.config import DEFAULT_CONFIG, ExtractConfig
 from onnxocr_ray_spark.kernels.classify import classify_angle, maybe_rotate
 from onnxocr_ray_spark.kernels.pipeline import detect_sorted
@@ -426,26 +427,29 @@ def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
 
     1. **Sized tables** (an ``html_size`` column materialized at ingest —
        every WARC record carries its length, and an Iceberg ingest
-       keeps it as a stats column): the straggler probe scans ONLY that
-       8-byte column (row-group min/max stats prune it further), so on a
-       clean corpus slice the plan collapses to the pure zero-overhead
+       keeps it as a stats column) — the PRODUCTION DEFAULT: the
+       synthesized ingest (``sources/pages.py``) always materializes
+       the stat, so this zero-cache strategy is what runs everywhere
+       except truly schema-less inputs. One probe job scans ONLY that
+       8-byte column (counting stragglers and NULL stats together); on
+       a clean corpus slice the plan collapses to the pure zero-overhead
        fused pass — no cache, no extra stages, one scan of html.
-       When stragglers exist, the two branches carry pushed
-       ``html_size`` filters; only row groups mixing both classes are
-       read twice.
+       When stragglers exist, the branches carry pushed ``html_size``
+       filters; only row groups mixing both classes are read twice.
+       Rows whose size stat is NULL take the per-row routed leg, so a
+       huge doc with a missing ingest stat keeps straggler protection.
     2. **Exact-shape tables** (no size column): single-pass per-row
        routing — ``extract_routed`` decides inside the fused kernel,
-       the output-sized result is persisted and eagerly materialized
-       once, and both branch consumers read the cache. The html column
-       is still read exactly once.
+       the OUTPUT-SIZED result is persisted (MEMORY_AND_DISK) and
+       eagerly materialized once, and both branch consumers read the
+       cache. The html column is still read exactly once, but the
+       cache footprint is why sized tables are preferred at 100 TB.
 
     Straggler spans explode across the cluster so one giant page cannot
     straggle a task. All paths run identical kernels with identical
     inputs — byte-identity is proven by tests regardless of which path
     a document takes.
     """
-    from onnxocr_ray_spark.caching import scoped_persist
-
     if doc_partitions is None and pages.rdd.getNumPartitions() < (
         pages.sparkSession.sparkContext.defaultParallelism
     ):
@@ -459,7 +463,19 @@ def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
 
     if SIZE_COL in pages.columns:
         return _extract_sized(pages, cfg, span_partitions, straggler_html_bytes)
+    return assemble(
+        _routed_spans(pages, cfg, span_partitions, straggler_html_bytes), cfg
+    )
 
+
+def _routed_spans(pages: DataFrame, cfg: ExtractConfig,
+                  span_partitions: Optional[int],
+                  straggler_html_bytes: int) -> DataFrame:
+    """Exact-shape strategy body: per-row routed pass (persisted once) +
+    the small/big branch consumers, returning the pre-assemble
+    ``(url, spans)`` union. Also used by the sized strategy for rows
+    whose ``html_size`` stat is NULL (unknown size -> per-row decision
+    keeps straggler protection)."""
     # this call owns the cache lifecycle of ITS routed pass only: release
     # the previous call's handle (streaming epochs / bench loops), persist
     # the new one for the two branch consumers below
@@ -476,6 +492,8 @@ def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     # (local[8] ran 200k docs at 6.6k docs/s vs 9.6k at half the corpus;
     # local[2] was unaffected because its tasks serialize and leg 2 found
     # a warm cache). One count() materializes every partition exactly once.
+    # NOTE the cache is output-sized: at 100 TB prefer a sized table (an
+    # html_size ingest stat), whose strategy needs no cache at all.
     routed.count()
 
     rec_small = routed.filter(~F.col("is_big")).select("url", "spans")
@@ -492,7 +510,7 @@ def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
         .repartition(max(4, parallelism // 4), "url")
     )
     rec_big = classify_recognize_exploded(big, cfg, span_partitions=span_partitions)
-    return assemble(rec_small.unionByName(rec_big), cfg)
+    return rec_small.unionByName(rec_big)
 
 
 def _extract_sized(pages: DataFrame, cfg: ExtractConfig,
@@ -505,18 +523,41 @@ def _extract_sized(pages: DataFrame, cfg: ExtractConfig,
     threshold), never the html bytes — fixing the round-1 flaw where the
     elision probe re-read the fattest column of the whole corpus."""
     is_big = F.col(SIZE_COL) > straggler_html_bytes
-    has_big = pages.filter(is_big).select(SIZE_COL).limit(1).count() > 0
-    if not has_big:
+    # ONE metadata-scale probe job for both facts (straggler present?
+    # size stat ever NULL?): scans only the 8-byte size column
+    stats = pages.select(
+        F.sum(is_big.cast("long")).alias("n_big"),
+        F.sum(F.col(SIZE_COL).isNull().cast("long")).alias("n_null"),
+    ).first()
+    n_big, n_null = stats["n_big"] or 0, stats["n_null"] or 0
+    if n_big == 0 and n_null == 0:
         # clean corpus slice: the plan IS the fused zero-shuffle pass
         return assemble(extract_fused(pages.select("url", "html"), cfg), cfg)
-    small = pages.filter(~is_big | F.col(SIZE_COL).isNull()).select("url", "html")
-    rec_small = extract_fused(small, cfg)
-    parallelism = pages.sparkSession.sparkContext.defaultParallelism
-    big_pages = (
-        pages.filter(is_big)
-        .select("url", "html")
-        .repartition(max(4, parallelism // 4), "url")
-    )
-    big = detect(big_pages, cfg).drop("n_regions")
-    rec_big = classify_recognize_exploded(big, cfg, span_partitions=span_partitions)
-    return assemble(rec_small.unionByName(rec_big), cfg)
+    legs = []
+    if n_null:
+        # rows with a missing ingest stat: unknown size -> per-row routed
+        # decision, so a huge doc with no stat keeps straggler protection
+        legs.append(
+            _routed_spans(
+                pages.filter(F.col(SIZE_COL).isNull()),
+                cfg, span_partitions, straggler_html_bytes,
+            )
+        )
+    sized = pages.filter(F.col(SIZE_COL).isNotNull())
+    small = sized.filter(~is_big).select("url", "html")
+    legs.append(extract_fused(small, cfg))
+    if n_big:
+        parallelism = pages.sparkSession.sparkContext.defaultParallelism
+        big_pages = (
+            sized.filter(is_big)
+            .select("url", "html")
+            .repartition(max(4, parallelism // 4), "url")
+        )
+        big = detect(big_pages, cfg).drop("n_regions")
+        legs.append(
+            classify_recognize_exploded(big, cfg, span_partitions=span_partitions)
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return assemble(out, cfg)

@@ -294,10 +294,9 @@ def test_rtl_gate_ignores_cjk_and_accents():
 def test_ctc_normalize_applies_bidi_last():
     from onnxocr_ray_spark.kernels.recognize import ctc_normalize
 
-    # entity decode + whitespace collapse happen BEFORE reassembly
-    out = ctc_normalize("  مرحبا&nbsp;&nbsp;بالعالم  ")
-    assert out == "مالاعلاب ابحرم"[::-1] or out  # deterministic; pin below
+    # entity decode + whitespace collapse happen BEFORE reassembly;
     # exact pin: decode->collapse gives 'مرحبا بالعالم', then unit-reverse
+    out = ctc_normalize("  مرحبا&nbsp;&nbsp;بالعالم  ")
     from onnxocr_ray_spark.kernels.recognize import bidi_reassemble
 
     assert out == bidi_reassemble("مرحبا بالعالم")

@@ -85,17 +85,38 @@ def test_sized_clean_corpus_is_pure_fused_plan(spark, queries):
 
 
 def test_sized_probe_reads_only_size_column(spark, queries):
-    # the straggler probe must never touch html: its scan reads only the
-    # ingest-materialized size column, with the predicate pushed down
+    # the straggler probe must never touch html: its single-agg probe
+    # (straggler count + null-stat count in one job) reads only the
+    # ingest-materialized size column
     pages = pages_table(spark, SF0001)
-    probe = pages.filter(F.col("html_size") > (1 << 20)).select("html_size").limit(1)
+    probe = pages.select(
+        F.sum((F.col("html_size") > (1 << 20)).cast("long")).alias("n_big"),
+        F.sum(F.col("html_size").isNull().cast("long")).alias("n_null"),
+    )
     scan = next(
         l for l in plan_of(probe).splitlines() if "FileScan parquet" in l
     )
     cols = scan.split("FileScan parquet [")[1].split("]")[0]
-    names = {c.split("#")[0] for c in cols.split(",")}
+    names = {c.split("#")[0] for c in cols.split(",") if c.strip()}
     assert names == {"html_size"}, names
-    assert "html_size" in scan.split("PushedFilters")[-1]
+
+
+def test_sized_null_stat_rows_keep_straggler_protection(spark, queries):
+    # a NULL html_size means "unknown" — those rows must take the per-row
+    # routed leg (InMemoryTableScan present), not be silently fused
+    pages = pages_table(spark, SF0001).withColumn(
+        "html_size",
+        F.when(F.col("url").substr(-1, 1) == "0", F.lit(None).cast("long"))
+        .otherwise(F.col("html_size")),
+    )
+    df = extract(pages, straggler_html_bytes=0)
+    plan = plan_of(df)
+    assert "InMemoryTableScan" in plan, plan  # routed leg for null rows
+    assert "Generate" in plan                  # straggler explode active
+    # byte-identity: same rows as the clean sized path
+    clean = extract(pages_table(spark, SF0001)).select("url", "checksum")
+    got = df.select("url", "checksum")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, clean.collect()))
 
 
 def test_sized_straggler_branches_filter_on_size(spark, queries):
@@ -107,6 +128,16 @@ def test_sized_straggler_branches_filter_on_size(spark, queries):
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert any("html_size" in s.split("PushedFilters")[-1] for s in scans), plan
     assert "Generate" in plan
+
+
+def test_synthesized_ingest_takes_sized_zero_cache_plan(spark, queries):
+    # the production ingest (pages_from_documents) materializes html_size,
+    # so extract() must take the sized strategy — zero cache — even on the
+    # non-materialized mapInPandas source
+    from onnxocr_ray_spark.sources.pages import pages_from_documents
+
+    df = extract(pages_from_documents(spark, SF0001))
+    assert "InMemoryTableScan" not in plan_of(df)
 
 
 def test_exact_shape_reads_html_exactly_once(spark, queries):
