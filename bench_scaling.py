@@ -159,6 +159,10 @@ def one_paired_round() -> dict:
         )
         line = proc.stdout.strip().splitlines()[-1]
         level[cpus] = json.loads(line)
+    # throttle windows are minutes long and a paired round spans ~4 min:
+    # probe AFTER as well, so "clean" certifies the window HELD through
+    # both level runs, not just at the start
+    post = host_probes()
     eff = (level[LOW]["best_sec"] / level[HIGH]["best_sec"]) / (HIGH / LOW)
     return {
         "low_sec": level[LOW]["best_sec"],
@@ -168,7 +172,9 @@ def one_paired_round() -> dict:
         "efficiency": round(eff, 3),
         "kernel_probe_eff": probes["kernel_eff"],
         "membw_probe_eff": probes["membw_eff"],
-        "clean": probes["clean"],
+        "post_kernel_probe_eff": post["kernel_eff"],
+        "post_membw_probe_eff": post["membw_eff"],
+        "clean": probes["clean"] and post["clean"],
         "ts": round(time.time()),
     }
 

@@ -44,6 +44,11 @@ class ExtractConfig:
     min_size: int = 3
     max_candidates: int = 1000
     use_dilation: bool = False
+    # "quad" (default) emits 4-corner rects; "poly" emits the simplified
+    # rectilinear outline of the block's text lines — the analog of the
+    # reference's polygons_from_bitmap branch (db_postprocess.py:58-100,
+    # reachable via det_box_type: poly, config.yaml:21)
+    det_box_type: str = "quad"
 
     # --- classify ---
     use_angle_cls: bool = True            # forced true (onnx_paddleocr.py:37)

@@ -96,6 +96,62 @@ def _clip(v: float, lo: float, hi: float) -> float:
     return lo if v < lo else hi if v > hi else v
 
 
+def _poly_outline(block: RawBlock, cfg: ExtractConfig) -> List[Tuple[float, float]]:
+    """``det_box_type="poly"`` branch: the simplified rectilinear outline
+    of the block's visible text lines, clockwise from top-left.
+
+    Analog of the reference's ``polygons_from_bitmap``
+    (`db_postprocess.py:58-100`): the block's per-line runs play the
+    contour, and collinear-vertex merging with
+    ``epsilon = 0.002 * perimeter`` plays ``cv2.approxPolyDP`` — two
+    adjacent lines whose edges differ by less than epsilon share one
+    straight edge. Per-line extents come from the block's raw text
+    (original whitespace intact), so the hot quad path pays nothing.
+    """
+    lines = block.raw.split("\n")
+    ext = []  # (left_px, right_px) per visible line
+    for ln in lines:
+        stripped = ln.strip()
+        if not stripped:
+            continue
+        indent = len(ln) - len(ln.lstrip())
+        left = (block.col0 + indent) * float(cfg.char_w)
+        right = left + len(stripped) * float(cfg.char_w)
+        ext.append((left, right))
+    if not ext:
+        return []
+    y_top = block.line0 * float(cfg.char_h)
+    pitch = float(cfg.char_h)
+    perim = 2.0 * sum(r - l for l, r in ext) / max(len(ext), 1) + 2.0 * pitch * len(ext)
+    eps = 0.002 * perim
+    pts: List[Tuple[float, float]] = []
+    # down the right side
+    for i, (_l, r) in enumerate(ext):
+        y0 = y_top + i * pitch
+        y1 = y0 + pitch
+        if pts and abs(pts[-1][0] - r) <= eps:
+            pts[-1] = (pts[-1][0], y1)       # merge collinear edge
+        else:
+            pts.append((r, y0))
+            pts.append((r, y1))
+    # back up the left side
+    up: List[Tuple[float, float]] = []
+    for i in range(len(ext) - 1, -1, -1):
+        l = ext[i][0]
+        y0 = y_top + i * pitch
+        y1 = y0 + pitch
+        if up and abs(up[-1][0] - l) <= eps:
+            up[-1] = (up[-1][0], y0)
+        else:
+            up.append((l, y1))
+            up.append((l, y0))
+    pts.extend(up)
+    # rotate so the top-left-most vertex is first (corner
+    # canonicalization analog, predict_det.py:50-62)
+    start = min(range(len(pts)), key=lambda i: (pts[i][1], pts[i][0]))
+    return pts[start:] + pts[:start]
+
+
 def doc_extent(blocks: List[RawBlock], cfg: ExtractConfig) -> Tuple[float, float]:
     """Document width/height in pixels, from the visible block extents."""
     w = 0.0
@@ -134,6 +190,14 @@ def detect_regions(html: Optional[bytes], cfg: ExtractConfig) -> List[Region]:
             continue
         if score < cfg.det_db_box_thresh:        # flt_boxscore
             continue
+        if cfg.det_box_type == "poly":
+            poly = _poly_region(block, cfg, doc_w, doc_h)
+            if poly is not None:
+                regions.append(
+                    Region(box=poly, det_score=score, raw=block.raw,
+                           order=block.order)
+                )
+            continue
         x0, y0, x1, y1 = _block_box(block, cfg)
         if min(x1 - x0, y1 - y0) < cfg.min_size: # flt_minsize (pre-unclip)
             continue
@@ -150,3 +214,45 @@ def detect_regions(html: Optional[bytes], cfg: ExtractConfig) -> List[Region]:
         box: Box = ((x0, y0), (x1, y0), (x1, y1), (x0, y1))
         regions.append(Region(box=box, det_score=score, raw=block.raw, order=block.order))
     return regions
+
+
+def _poly_region(block: RawBlock, cfg: ExtractConfig, doc_w: float,
+                 doc_h: float):
+    """Geometry pipeline for one poly-mode candidate: outline ->
+    vertex-count guard -> min-size -> unclip offset -> min-size ->
+    clip -> degenerate. Returns the vertex tuple or None (filtered).
+
+    Mirrors the reference poly branch's guard order
+    (`db_postprocess.py:72-100`: approx -> <4-points drop -> unclip ->
+    sside check -> rescale/clip), with the bounding-rect short side
+    playing ``get_mini_boxes``'s sside."""
+    pts = _poly_outline(block, cfg)
+    if len(pts) < 4:                              # points.shape[0] < 4 guard
+        return None
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    x0, y0, x1, y1 = min(xs), min(ys), max(xs), max(ys)
+    if min(x1 - x0, y1 - y0) < cfg.min_size:
+        return None
+    w, h = x1 - x0, y1 - y0
+    d = (w * h) * cfg.det_db_unclip_ratio / (2.0 * (w + h))  # unclip dist
+    cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+    # outward vertex offset (pyclipper-offset analog for rectilinear
+    # outlines): every vertex moves away from the bbox center by d
+    pts = [
+        (px - d if px < cx else px + d, py - d if py < cy else py + d)
+        for px, py in pts
+    ]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    if min(max(xs) - min(xs), max(ys) - min(ys)) < cfg.min_size + 2:
+        return None
+    pts = [
+        (_clip(px, 0.0, doc_w - 1.0), _clip(py, 0.0, doc_h - 1.0))
+        for px, py in pts
+    ]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    if max(xs) - min(xs) <= 3.0 or max(ys) - min(ys) <= 3.0:
+        return None
+    return tuple(pts)

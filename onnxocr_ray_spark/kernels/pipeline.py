@@ -46,8 +46,16 @@ class DocResult:
 
 
 def _ratio(box: Box) -> float:
-    w = box[1][0] - box[0][0]
-    h = box[3][1] - box[0][1]
+    """Aspect ratio from the box's axis-aligned extent. For the default
+    quad boxes ((x0,y0),(x1,y0),(x1,y1),(x0,y1)) this equals the old
+    corner arithmetic bit-for-bit; for ``det_box_type="poly"`` outlines
+    (N >= 4 vertices) it is the bounding-rect ratio — the analog of the
+    reference deriving rec input shape from the min-area rect of a
+    polygon box (db_postprocess.py:92-96, predict_det.py:50-62)."""
+    xs = [p[0] for p in box]
+    ys = [p[1] for p in box]
+    w = max(xs) - min(xs)
+    h = max(ys) - min(ys)
     if h <= 0.0:
         return 0.0
     return w / h

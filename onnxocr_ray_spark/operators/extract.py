@@ -98,8 +98,12 @@ def _detect_doc(html: Optional[bytes], cfg: ExtractConfig) -> List[dict]:
         return []
     ratios = []
     for r in regions:
-        w = r.box[1][0] - r.box[0][0]
-        h = r.box[3][1] - r.box[0][1]
+        # axis-aligned extent: identical to corner arithmetic for quads,
+        # bounding-rect ratio for det_box_type="poly" outlines
+        xs = [p[0] for p in r.box]
+        ys = [p[1] for p in r.box]
+        w = max(xs) - min(xs)
+        h = max(ys) - min(ys)
         ratios.append(w / h if h > 0.0 else 0.0)
     batch_id, rec_width, _ = pack_batches(
         ratios, cfg.rec_batch_num, cfg.rec_image_height, cfg.rec_seed_ratio

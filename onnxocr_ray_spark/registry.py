@@ -77,6 +77,7 @@ def load_all() -> Dict[str, Query]:
         relational4,
         sampling,
         similarity,
+        sketches,
         textstats,
     )
     from onnxocr_ray_spark import entrypipeline  # noqa: F401

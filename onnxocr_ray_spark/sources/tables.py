@@ -4,9 +4,19 @@ Replaces the reference's ingestion surface (HTTP JSON bodies,
 `app-service.py:172-456`; HuggingFace fixture download, `test.py:62-89`)
 with table scans — `spark.read.parquet` with Catalyst predicate pushdown
 and column pruning. An Iceberg catalog is the production target
-(BASELINE.json input_hint); the runtime jar is absent in this sandbox, so
-parquet + explicit lineage columns stand in (SURVEY.md §7.3.4) — the
-loader API is format-agnostic.
+(BASELINE.json input_hint): ``load_table`` reads through the catalog
+when an Iceberg runtime is on the classpath and ``SPARK_GRAFT_CATALOG``
+names one, and falls back to parquet + explicit lineage columns
+otherwise (SURVEY.md §7.3.4) — same API, same downstream plans.
+
+Sandbox status (round 3, recorded attempt): no ``iceberg-spark-runtime``
+jar ships with this PySpark install (287 jars checked) and the container
+has no network to fetch one (maven central DNS fails), so the Iceberg
+branch cannot execute here; ``iceberg_available`` gates it and
+``tests/test_sources.py`` pins the fallback behavior. On a real cluster
+the swap is configuration only: add the runtime jar + a catalog conf,
+set ``SPARK_GRAFT_CATALOG``, and ``extract()``'s sized-table probe reads
+``html_size`` through Iceberg's column stats for free.
 """
 
 from __future__ import annotations
@@ -21,7 +31,27 @@ TABLES = (
 )
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff an Iceberg runtime is actually on the JVM classpath (the
+    SparkCatalog class loads). Cheap, cached per-JVM by the classloader."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Format-agnostic loader. With ``SPARK_GRAFT_CATALOG`` set AND an
+    Iceberg runtime present, reads ``<catalog>.<db>.<name>`` through the
+    catalog (snapshot isolation, stats-backed pruning); otherwise scans
+    the sf_dir parquet file. Downstream operators are identical either
+    way — they see a DataFrame with the same schema."""
+    catalog = os.environ.get("SPARK_GRAFT_CATALOG")
+    if catalog and iceberg_available(spark):  # pragma: no cover - needs jar
+        return spark.read.format("iceberg").load(f"{catalog}.{name}")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

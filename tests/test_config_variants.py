@@ -60,3 +60,34 @@ def test_rec_batch_num_changes_packing_not_text():
     b2 = extract_document(html, replace(DEFAULT_CONFIG, rec_batch_num=2))
     assert [s.text for s in b6.spans] == [s.text for s in b2.spans]
     assert [s.batch_id for s in b6.spans] != [s.batch_id for s in b2.spans]
+
+
+def test_poly_box_type_emits_outline_vertices():
+    """det_box_type="poly" (db_postprocess.py:58-100 analog): a block
+    whose lines have different widths gets a staircase outline with more
+    than 4 vertices; the default quad path emits exactly 4. Text routing
+    is geometry-independent, so the decoded text matches."""
+    html = (
+        "<p>a paragraph whose first line is quite long indeed\n"
+        "short second\n"
+        "and a medium third line</p>"
+    ).encode()
+    quad = extract_document(html, DEFAULT_CONFIG)
+    poly = extract_document(html, replace(DEFAULT_CONFIG, det_box_type="poly"))
+    assert quad.n_spans == poly.n_spans == 1
+    assert len(quad.spans[0].box) == 4
+    assert len(poly.spans[0].box) > 4          # staircase outline
+    assert poly.spans[0].text == quad.spans[0].text
+    # outline stays inside the quad's unclipped bbox neighborhood and is
+    # clockwise from the top-left-most vertex
+    pts = poly.spans[0].box
+    assert min(p[1] for p in pts) == pts[0][1]
+
+
+def test_poly_uniform_lines_simplify_to_quad_shape():
+    """approxPolyDP analog: uniform line widths collapse the outline to
+    the 4-corner shape (vertex merge under epsilon)."""
+    html = ("<p>" + "\n".join(["equal width line abc"] * 4) + "</p>").encode()
+    poly = extract_document(html, replace(DEFAULT_CONFIG, det_box_type="poly"))
+    assert poly.n_spans == 1
+    assert len(poly.spans[0].box) == 4

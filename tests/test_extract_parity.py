@@ -101,3 +101,17 @@ def test_flagship_has_content(spark):
     )
     assert row is not None and len(row["extracted_text"]) > 0
     spark.catalog.clearCache()
+
+
+def test_parity_poly_box_type(spark):
+    """det_box_type="poly" (the reference's polygons_from_bitmap branch,
+    db_postprocess.py:58-100): distributed == serial byte-identically
+    under the variant config too."""
+    from dataclasses import replace
+
+    cfg = replace(DEFAULT_CONFIG, det_box_type="poly")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{SF0001}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    oracle = extract_serial(pages_local(rows), cfg)
+    _assert_parity(_collect_spark(spark, cfg), oracle)

@@ -62,3 +62,16 @@ def test_b64_jsonl_source_roundtrips_into_extract(spark, tmp_path):
     assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
     out = extract(pages).collect()
     assert len(out) == 3 and all(r.n_spans > 0 for r in out)
+
+
+def test_iceberg_gate_and_parquet_fallback(spark, monkeypatch):
+    """No Iceberg runtime ships in this sandbox: the classpath gate must
+    report False and load_table must fall back to the parquet scan even
+    when a catalog is configured (the documented degraded mode)."""
+    from onnxocr_ray_spark.sources.tables import iceberg_available, load_table
+    from tests.conftest import SF0001
+
+    assert iceberg_available(spark) is False
+    monkeypatch.setenv("SPARK_GRAFT_CATALOG", "prod_catalog.crawl")
+    df = load_table(spark, SF0001, "documents")
+    assert df.count() > 0  # parquet fallback served the read
