@@ -54,8 +54,12 @@ HEADLINE = [
 PROBE_FLOOR = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "500"))
 # Clean-window headline total measured 13-17 s at local[32]/sf0.1; a
 # pass whose total-of-minimums is under this is accepted as clean.
-TARGET_TOTAL = float(os.environ.get("SPARK_GRAFT_TARGET_TOTAL", "22"))
+TARGET_TOTAL = float(os.environ.get("SPARK_GRAFT_TARGET_TOTAL", "18"))
 MAX_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+# always take at least two passes: a single-shot timing conflates one
+# query with one scheduling hiccup; two passes give every query a
+# same-session minimum even when pass 1 already beats the target
+MIN_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_PASSES", "2"))
 PASS_PAUSE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_PAUSE", "45"))
 
 
@@ -106,10 +110,12 @@ def main() -> None:
         f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
     ).fetchone()[0]
 
-    # Warm the JVM (codegen/JIT) and the Python worker pool once, so the
-    # timings below measure the queries, not first-run compilation.
-    warm = queries["q1_pricing"].fn(spark, sf_dir)
-    materialize(warm)
+    # Warm the JVM (codegen/JIT) AND the executor Python worker pool, so
+    # the timings below measure the queries, not first-run compilation or
+    # the ~1-2 s spin-up of 32 Python workers (q1 is JVM-only;
+    # dedup_simhash is an Arrow/mapInPandas stage).
+    materialize(queries["q1_pricing"].fn(spark, sf_dir))
+    materialize(queries["dedup_simhash"].fn(spark, sf_dir))
 
     probe_rates = [wait_for_clean_window()]
 
@@ -128,11 +134,14 @@ def main() -> None:
                 timings[name] = dt
             spark.catalog.clearCache()
         total = sum(timings.values())
-        if total <= TARGET_TOTAL or pass_i == MAX_PASSES - 1:
+        if pass_i + 1 >= MAX_PASSES:
             break
-        # pass looked throttled: let the window move on, then re-gate
-        time.sleep(PASS_PAUSE_SEC)
-        probe_rates.append(wait_for_clean_window(max_wait_sec=120))
+        if pass_i + 1 >= MIN_PASSES and total <= TARGET_TOTAL:
+            break
+        if total > TARGET_TOTAL:
+            # pass looked throttled: let the window move on, then re-gate
+            time.sleep(PASS_PAUSE_SEC)
+            probe_rates.append(wait_for_clean_window(max_wait_sec=120))
 
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)

@@ -199,9 +199,11 @@ def summarize(rounds: list) -> dict:
         "median_all_rounds_efficiency": median_eff,
         "paired_rounds": [
             {k: r[k] for k in (
-                "low_sec", "high_sec", "efficiency",
-                "kernel_probe_eff", "membw_probe_eff", "clean", "ts",
-            )}
+                "low_sec", "high_sec", "low", "high", "efficiency",
+                "kernel_probe_eff", "membw_probe_eff",
+                "post_kernel_probe_eff", "post_membw_probe_eff",
+                "clean", "ts",
+            ) if k in r}
             for r in rounds
         ],
         "sf_dir": SF_DIR,
