@@ -130,7 +130,8 @@ def token_confidence(token: str) -> float:
     """Deterministic per-token 'model confidence' in [0.2, 0.99]."""
     if not token:
         return 0.2
-    good = sum(1 for ch in token if _WORD_CHAR_RE.match(ch))
+    # one C-level scan; single-char class => findall count == per-char match count
+    good = len(_WORD_CHAR_RE.findall(token))
     frac = good / len(token)
     return 0.2 + 0.79 * frac
 
