@@ -122,3 +122,43 @@ def salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("pmax"), 4).alias("max_value"),
         )
     )
+
+
+N_SHARDS = 16
+
+
+@register(
+    "shard_manifest",
+    priority=10,
+    sql=f"""
+    SELECT cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % {N_SHARDS} AS shard,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+    doc=(
+        "training-data op: deterministic hash-shard assignment manifest — "
+        "the export-planning step of a training-data pipeline (shard = "
+        "md5(doc_id) high word mod N, engine/partitioning-invariant); at "
+        "corpus scale the same expression feeds "
+        "df.repartition(N, shard).write.partitionBy(shard)"
+    ),
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(portable_md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % N_SHARDS
+    ).alias("shard")
+    return docs.groupBy(shard).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
