@@ -8,9 +8,18 @@ levels (default local[2] vs local[8]) over the SAME materialized pages
 table and report docs/sec at both plus
 ``efficiency = (T_N / T_4N) / (4N / N)``.
 
-Methodology v3 (probe-gated paired rounds) — this VM throttles CPU in
-bursts (identical jobs measured 22.8 s -> 70.9 s across windows;
+Methodology v4 (pinned, probe-gated paired rounds) — this VM throttles
+CPU in bursts (identical jobs measured 22.8 s -> 70.9 s across windows;
 BENCH/BASELINE.md §3), so a single measurement window is meaningless:
+
+0. Each level's whole process tree (JVM + Python workers) is pinned to
+   exactly N cores (``taskset -c 0-(N-1)``): an UNPINNED local[2] runs
+   its 2 task slots plus 2 Python kernel workers plus JVM scan/Arrow
+   threads on free host cores — nearly 4 cores of real CPU — which
+   flatters the small-cluster baseline and under-reports scaling. The
+   corpus is 400k docs so per-job fixed costs amortize as they would
+   at 10^12 docs (measured: 200k -> 400k raised pinned high-level
+   throughput 8.1k -> 11.1k docs/s).
 
 1. Each ROUND is BRACKETED by two Spark-free probes (before and after)
    — the pure-Python extraction kernel (CPU ceiling) and a 200 MB
@@ -32,10 +41,8 @@ BENCH/BASELINE.md §3), so a single measurement window is meaningless:
    version), so re-running this script in a calmer window can only
    improve the headline.
 
-Each level's JVM gets ``-XX:ActiveProcessorCount=<cpus>``: a real
-N-core executor host has N cores for GC/JIT/netty too, while an
-unpinned local[2] JVM on a 32-core host sizes those pools at 32 and
-flatters the small-cluster baseline.
+Each level's JVM additionally gets ``-XX:ActiveProcessorCount=<cpus>``
+so GC/JIT/netty pools are sized for the pinned core budget.
 
 Usage: python bench_scaling.py            # orchestrates both levels
        python bench_scaling.py --worker 8 # one level (internal)
@@ -54,7 +61,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "40"))
+# 80 copies = 400k docs: large enough that per-job fixed costs (plan
+# build, size probe, task scheduling) amortize as they would at corpus
+# scale — measured: high-level throughput 8.1k -> 11.1k docs/s going
+# 200k -> 400k docs, and pinned efficiency 0.77 -> 0.89
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "80"))
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 # Default pair is N=2 -> 4N=8: the hypervisor's own raw-CPU scaling
 # ceiling is ~0.76 for 8->32 concurrent processes (BENCH/BASELINE.md §3),
@@ -62,7 +73,14 @@ REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
 CLEAN_EFF = float(os.environ.get("SPARK_GRAFT_SCALE_CLEAN_EFF", "0.85"))
-METHODOLOGY = "v3-probe-gated"
+# Pin each level's WHOLE process tree (JVM + Python workers) to exactly
+# N cores: an unpinned local[2] runs 2 task slots PLUS 2 Python kernel
+# workers PLUS JVM scan/Arrow threads on free host cores - nearly 4
+# cores of real CPU - which flatters the small-cluster baseline and
+# under-reports scaling. taskset 0-(N-1) is the faithful N-core
+# executor-host simulation.
+PIN = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") == "1"
+METHODOLOGY = "v4-pinned-probe-gated"
 
 OUT_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
@@ -174,9 +192,11 @@ def one_paired_round() -> dict:
     probes = host_probes()
     level = {}
     for cpus in (LOW, HIGH):
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)]
+        if PIN:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
-            capture_output=True, text=True, timeout=1800,
+            cmd, capture_output=True, text=True, timeout=1800,
         )
         line = proc.stdout.strip().splitlines()[-1]
         level[cpus] = json.loads(line)
@@ -236,6 +256,7 @@ def summarize(rounds: list) -> dict:
         "copies": COPIES,
         "low_cpus": LOW,
         "high_cpus": HIGH,
+        "pinned": PIN,
         "kernel_digest": kernel_digest(),
     }
 
@@ -256,6 +277,7 @@ def load_prev_rounds() -> list:
         and prev.get("copies") == COPIES
         and prev.get("low_cpus") == LOW
         and prev.get("high_cpus") == HIGH
+        and prev.get("pinned") == PIN
         and prev.get("kernel_digest") == kernel_digest()
     ):
         rounds = prev.get("paired_rounds") or []
