@@ -193,10 +193,18 @@ def host_probes() -> dict:
     }
 
 
-def one_paired_round() -> dict:
+def one_paired_round(round_idx: int = 0) -> dict:
     probes = host_probes()
     level = {}
-    for cpus in (LOW, HIGH):
+    # counterbalanced leg order: the second leg systematically reads
+    # slower (hypervisor burst credits drained by the first), so
+    # alternating LOW-first / HIGH-first across rounds cancels the bias
+    # instead of always taxing the same level; a short idle gap between
+    # legs lets credits recover
+    order = (LOW, HIGH) if round_idx % 2 == 0 else (HIGH, LOW)
+    for leg_i, cpus in enumerate(order):
+        if leg_i:
+            time.sleep(60)
         cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)]
         if PIN:
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
@@ -323,7 +331,7 @@ def main() -> None:
 
     rounds = load_prev_rounds()
     for _ in range(args.rounds):
-        r = one_paired_round()
+        r = one_paired_round(round_idx=len(rounds))
         rounds.append(r)
         # persist after every round: a clean window captured is never lost
         summary = summarize(rounds)
