@@ -239,21 +239,38 @@ def one_paired_round(round_idx: int = 0) -> dict:
 
 
 def summarize(rounds: list) -> dict:
+    """Headline = ratio of PER-LEVEL MINIMA over probe-clean rounds.
+
+    Host interference only ever inflates a leg's time, so within the
+    gated (clean) rounds each level's minimum converges to its true
+    time from above and the ratio of minima converges to the
+    machine-intrinsic efficiency. A single paired round can read high
+    OR low when one leg catches a throttle patch the bracketing probes
+    missed (observed: a clean round at 1.082 — superlinear is
+    impossible, so its low leg was inflated); the minima estimator is
+    immune to that, and every paired round stays in the artifact."""
     clean = [r for r in rounds if r.get("clean")]
     pool = clean or rounds
-    best = max(pool, key=lambda r: r["efficiency"])
+    lo_best = min(pool, key=lambda r: r["low_sec"])
+    hi_best = min(pool, key=lambda r: r["high_sec"])
+    eff = round(
+        (lo_best["low_sec"] / hi_best["high_sec"]) / (HIGH / LOW), 3
+    )
+    best_paired = max(pool, key=lambda r: r["efficiency"])
     effs = sorted(r["efficiency"] for r in rounds)
     n = len(effs)
     median_eff = effs[n // 2] if n % 2 else round((effs[n // 2 - 1] + effs[n // 2]) / 2, 3)
     return {
         "metric": "extraction throughput scaling efficiency (N -> 4N cores)",
         "methodology": METHODOLOGY,
-        "low": best["low"],
-        "high": best["high"],
-        "efficiency": best["efficiency"],
-        "speedup": round(best["low_sec"] / best["high_sec"], 3),
-        "pass": best["efficiency"] >= 0.8,
-        "best_round_clean": bool(best.get("clean")),
+        "low": lo_best["low"],
+        "high": hi_best["high"],
+        "efficiency": eff,
+        "speedup": round(lo_best["low_sec"] / hi_best["high_sec"], 3),
+        "pass": eff >= 0.8,
+        "estimator": "per-level minima over probe-clean rounds",
+        "all_rounds_were_dirty": not clean,
+        "best_paired_round_efficiency": best_paired["efficiency"],
         "clean_rounds": len(clean),
         "median_all_rounds_efficiency": median_eff,
         "paired_rounds": [

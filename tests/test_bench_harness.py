@@ -1,7 +1,7 @@
 """Unit tests for the scaling-bench summarizer (pure functions, no
-Spark): clean-round selection, headline computation, merge-key safety.
-The measurement methodology itself is documented in bench_scaling.py
-and BENCH/BASELINE.md §4."""
+Spark): clean-round gating, per-level-minima headline, artifact
+completeness. The measurement methodology itself is documented in
+bench_scaling.py and BENCH/BASELINE.md §4."""
 
 import bench_scaling as bs
 
@@ -20,27 +20,29 @@ def _round(low, high, eff, clean, ts=0):
     }
 
 
-def test_headline_is_best_clean_round():
+def test_headline_is_per_level_minima_over_clean_rounds():
     rounds = [
         _round(120.0, 40.0, 0.75, True),
-        _round(124.0, 36.0, 0.861, True),
-        _round(100.0, 25.0, 1.0, False),   # dirty: never the headline
+        _round(144.0, 36.0, 1.0, True),    # inflated low leg, best high leg
+        _round(100.0, 25.0, 1.0, False),   # dirty: excluded from minima
     ]
     s = bs.summarize(rounds)
-    assert s["efficiency"] == 0.861
+    # minima over CLEAN rounds only: low 120.0, high 36.0 -> (120/36)/4
+    assert s["efficiency"] == round((120.0 / 36.0) / 4, 3)
     assert s["pass"] is True
-    assert s["best_round_clean"] is True
+    assert s["low"]["best_sec"] == 120.0
+    assert s["high"]["best_sec"] == 36.0
     assert s["clean_rounds"] == 2
-    assert s["low"]["best_sec"] == 124.0   # headline carries its own round's levels
+    assert s["all_rounds_were_dirty"] is False
     assert len(s["paired_rounds"]) == 3    # every round stays in the artifact
 
 
-def test_headline_falls_back_to_dirty_when_no_clean_rounds():
+def test_falls_back_to_dirty_rounds_when_no_clean():
     rounds = [_round(120.0, 45.0, 0.667, False)]
     s = bs.summarize(rounds)
-    assert s["efficiency"] == 0.667
+    assert s["efficiency"] == round((120.0 / 45.0) / 4, 3)
     assert s["pass"] is False
-    assert s["best_round_clean"] is False
+    assert s["all_rounds_were_dirty"] is True
 
 
 def test_median_over_all_rounds():
@@ -52,7 +54,7 @@ def test_median_over_all_rounds():
     assert bs.summarize(rounds)["median_all_rounds_efficiency"] == 0.7
 
 
-def test_kernel_digest_is_stable_and_kernel_sensitive():
+def test_kernel_digest_is_stable():
     d1 = bs.kernel_digest()
     d2 = bs.kernel_digest()
     assert d1 == d2 and len(d1) == 12
