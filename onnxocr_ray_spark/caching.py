@@ -3,7 +3,7 @@
 Several operators materialize an intermediate once and reuse it across
 join branches (LSH signature tables, the routed extraction pass). A bare
 ``.persist()`` with no owner leaks in a long-lived session: the driver
-runs all ~45 registry queries through ONE SparkSession, so unbounded
+runs all ~59 registry queries through ONE SparkSession, so unbounded
 caches accumulate until executor storage memory is exhausted.
 
 The contract here: ``scoped_persist`` registers every persisted handle,
