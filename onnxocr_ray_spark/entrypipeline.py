@@ -73,3 +73,73 @@ def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.batch_id").alias("batch_id"),
         F.col("s.rec_width").alias("rec_width"),
     )
+
+
+# Golden-sample oracle for the flagship pipeline: the extraction kernel
+# itself is not SQL-expressible, but its output over a FIXED fixture is —
+# as a VALUES literal pinned from the serial oracle
+# (onnxocr_ray_spark.oracle.extract_serial, the same byte-identity
+# reference the parity pytest suite compares against). This gives the
+# driver a hash-checked row for the flagship instead of a rows-only one.
+# The fixture docs are carried as literals (sf_dir-independent, so the
+# sf0.001 pytest gate and the sf0.01 driver gate check the same rows) and
+# cover the synthesizer's edge buckets 0-11 (empty, undecodable, tiny,
+# heavy-tail, flipped, low-confidence, zero-width, entities, sort-swap,
+# RTL). tests/test_extract_parity.py guards the pins against
+# synthesizer/kernel drift.
+_GOLDEN_DOCS = [
+    (0, 'key agg row scan slow fast table value part hash value table part a row fast merge batch part value fast spark a a the line sort table window table table key', 'en'),
+    (1, 'batch window spark order data column agg join small line customer query line value a table customer fast key scan query big table table part agg order scan stream fast order group value sort column query big query value customer stream window stream sort query line window batch customer join merge value spark part filter query key scan sort a scan spark fast sort key agg query the group line table order', 'en'),
+    (2, 'small fast slow filter value small value table the part data window the row a window data a scan group big vector table fast batch batch agg window customer line slow table filter scan scan slow small group fast column scan data group spark value', 'en'),
+    (3, 'window merge spark merge batch table a big a join batch table window big the join line agg small slow small stream customer group spark data vector', 'zh'),
+    (4, 'data query small row slow row data stream filter small sort hash stream batch big big group order column part table stream group table join batch join window window fast agg line order group spark window part agg the column line the data row customer', 'es'),
+    (5, 'agg table spark hash sort key vector fast join value data agg query fast window batch filter query the group vector line agg vector line hash agg query column batch customer line column small stream join merge scan batch slow hash data sort column line big group stream small stream order small key scan group line', 'de'),
+    (6, 'agg small scan table group scan order row merge scan part hash scan group fast', 'es'),
+    (7, 'batch window vector hash fast part window the stream key column batch filter merge filter key part hash customer scan line group scan fast spark scan vector order slow small data column scan filter data join small slow the join sort data vector row customer join vector the slow order agg order merge hash data agg line value scan scan slow join big order scan customer scan order the customer key slow', 'de'),
+    (8, 'the spark join stream a small order merge column group customer part a spark value customer the column the window big merge spark scan table vector order big order group join row order filter small column part group big value scan filter filter the scan value order column part sort filter merge column join customer scan table hash value window batch the small join small group order small vector row a big scan agg order fast row window slow group group spark part dup', 'zh'),
+    (9, 'order small line key filter column order the order part small part window scan agg merge data small sort group a big row batch order spark spark row row line join agg filter agg batch customer line data join row scan scan fast join batch merge group the value scan row value vector line a batch key spark fast customer vector stream join key filter line merge hash join key group big a small', 'en'),
+    (10, 'order scan agg batch a small stream value table merge hash big column group value group small window customer part group group spark hash window window window part merge query agg big query a spark the the join key', 'es'),
+    (11, 'the big data merge data spark merge stream part slow part filter sort a part order merge big spark key value merge hash filter small a batch slow key hash slow vector value fast small query hash slow slow join fast line spark vector scan small window group part filter fast data key part line a merge key', 'de'),
+]
+
+_GOLDEN_SAMPLE = [
+    ("https://example.org/en/udaxihhe/0", 0, "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"),
+    ("https://example.org/en/qpnowqxe/1", 0, "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"),
+    ("https://example.org/en/ppmwlagk/2", 3, "75e89ddf9021429825e489b1ff1505f9857cb0b7c9b02bd56e95693f0cb17ec6"),
+    ("https://example.org/zh/alxhfief/3", 82, "4faae23ff9f8de96bf78dea425ea86bf10703d61341f4875181f590d9c0424df"),
+    ("https://example.org/es/lnvqsemi/4", 4, "ce7c4ce999066cb4101592b0f00384dd267509f271abf265ed7bc85c4f0d7409"),
+    ("https://example.org/de/acjqpasx/5", 4, "85d6a705d8f6d4e83b6d821212ccb40e5a54763e0da52765958f871b3ecb3a00"),
+    ("https://example.org/es/gmsugbsz/6", 3, "1292c3b4eb7b17145da2e3b82564e1afbec470f6c37fb8204339c6c55f57b8aa"),
+    ("https://example.org/de/mkorhbrl/7", 6, "62dba700d46bcbe5e15e91e6843138e39acd32a8a10862d0f06a97d4fb53cb20"),
+    ("https://example.org/zh/dlzmrnbn/8", 8, "b04ecbda84bc6bf38f894229575cd08e4f74dfa1ae7400318b8be90cb9ca6dc4"),
+    ("https://example.org/en/newugfir/9", 6, "af965dbd4f77ba83e192efe08cb24c6c9ad5a36fbd1498625fab326e7e96b880"),
+    ("https://example.org/es/iwdkddmc/10", 4, "e5d4ef5b3c0756f5cd2e2a094464ff4bb9a02df1feee28a6d39d508e105ad161"),
+    ("https://example.org/de/wycwjjyg/11", 5, "e03d11689a63365af9bab46fb8d15087f7c309463a85200749bf4e7a8a1c6805"),
+]
+
+_GOLDEN_VALUES_SQL = ",\n      ".join(
+    f"('{u}', {n}, '{c}')" for u, n, c in _GOLDEN_SAMPLE
+)
+
+
+@register(
+    "extract_golden_sample",
+    priority=1,
+    sql=f"""
+    SELECT * FROM (VALUES
+      {_GOLDEN_VALUES_SQL}
+    ) AS t(url, n_spans, checksum)
+    """,
+    doc=(
+        "flagship byte-identity, driver-checked: extract() over the 12 "
+        "edge-bucket sample docs vs serial-oracle-pinned goldens "
+        "(src_base64..zip_boxrec composition; full-corpus parity in pytest)"
+    ),
+)
+def extract_golden_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onnxocr_ray_spark.sources.pages import pages_from_docs_df
+
+    docs = spark.createDataFrame(
+        _GOLDEN_DOCS, "doc_id long, text string, lang string"
+    )
+    return extract(pages_from_docs_df(docs)).select("url", "n_spans", "checksum")

@@ -171,6 +171,14 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, copies: int = 1) -> D
     for throughput/scaling benchmarks without external data.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return pages_from_docs_df(docs, copies=copies)
+
+
+def pages_from_docs_df(docs: DataFrame, copies: int = 1) -> DataFrame:
+    """Synthesize pages from any ``(doc_id, text, lang)`` DataFrame —
+    the executor-side body of :func:`pages_from_documents`, also used by
+    fixture queries that carry their docs as literals."""
+    spark = docs.sparkSession
     # the driver-generated parquet is a single file -> one input partition;
     # spread the synthesis across the cluster (cheap shuffle of small rows)
     target = spark.sparkContext.defaultParallelism

@@ -115,3 +115,16 @@ def test_parity_poly_box_type(spark):
     ).fetchall()
     oracle = extract_serial(pages_local(rows), cfg)
     _assert_parity(_collect_spark(spark, cfg), oracle)
+
+
+def test_golden_sample_pins_match_serial_oracle():
+    """The extract_golden_sample VALUES oracle is pinned FROM the serial
+    oracle over the fixture docs; if the synthesizer or kernel
+    legitimately changes, this test fails first and tells you to
+    regenerate the pins (entrypipeline.py), rather than a driver row
+    going silently red."""
+    from onnxocr_ray_spark.entrypipeline import _GOLDEN_DOCS, _GOLDEN_SAMPLE
+
+    res = extract_serial(pages_local(_GOLDEN_DOCS))
+    got = [(u, r.n_spans, r.checksum) for u, r in res.items()]
+    assert sorted(got) == sorted(_GOLDEN_SAMPLE)
