@@ -184,3 +184,69 @@ def windowed_events_stream(
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
         .select(F.col("w.start").alias("hour"), "event_type", "n", "total")
     )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    schema: Optional[str] = None,
+) -> DataFrame:
+    """Streaming exact dedup: emit each distinct content exactly once
+    across the WHOLE stream (cross-micro-batch), the streaming form of
+    the batch ``dedup_exact`` registry query.
+
+    ``applyInPandasWithState`` keyed by content hash; state = the
+    canonical (first-arriving) doc_id and a running duplicate count.
+    Built-in ``dropDuplicates`` on a stream either keeps unbounded
+    per-ROW state or needs a watermark that silently re-admits late
+    duplicates — for corpus dedup the hash key IS the state and one
+    small row per distinct content is the minimal, explicit footprint.
+    Within a micro-batch ties resolve by min doc_id, so arrival order of
+    batches (not rows) is the only ordering the result depends on.
+
+    At 10^12 docs this state shards across the cluster by hash exactly
+    like the batch groupBy — same shuffle key, same skew profile — and
+    the RocksDB state store holds (hash -> 16 bytes).
+    """
+    import pandas as pd
+
+    schema = schema or "doc_id long, text string, lang string"
+    out_schema = (
+        "content_hash string, canonical_id long, lang string, is_new boolean"
+    )
+    state_schema = "canonical long, dups long"
+
+    def fn(key, pdfs, state):
+        (content_hash,) = key
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        if state.exists:
+            canonical, dups = state.get
+            state.update((canonical, dups + len(rows)))
+            # seen in an earlier batch: nothing new to emit
+            return
+        first = rows.iloc[0]
+        state.update((int(first["doc_id"]), len(rows) - 1))
+        yield pd.DataFrame(
+            {
+                "content_hash": [content_hash],
+                "canonical_id": [int(first["doc_id"])],
+                "lang": [str(first["lang"])],
+                "is_new": [True],
+            }
+        )
+
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    hashed = stream.select(
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+        "doc_id",
+        "lang",
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -53,3 +53,61 @@ def test_sessionize_stream_emits_closed_sessions(spark, tmpdir):
         key = (r.user_id, r.n_events)
         assert batch_counts.get(key, 0) > 0, f"streamed session {key} not in batch"
         batch_counts[key] -= 1
+
+
+def test_dedup_stream_emits_each_content_once(spark, tmpdir):
+    """Cross-micro-batch exact dedup: duplicates arriving in LATER files
+    are suppressed by the hash-keyed state, and canonicals match the
+    batch groupBy over the same union (arrival order = doc_id order)."""
+    import duckdb
+
+    from onnxocr_ray_spark.streaming.pipeline import dedup_stream
+
+    docs_dir = f"{tmpdir}/docs"
+    os.makedirs(docs_dir)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{SF0001}/documents.parquet' "
+        "WHERE doc_id < 100 ORDER BY doc_id"
+    ).fetchall()
+    chunk1 = [(int(d), t, l) for d, t, l in rows[:50]]
+    # chunk2: fresh docs 50-99 PLUS re-arrivals of the first 10 texts
+    chunk2 = [(int(d), t, l) for d, t, l in rows[50:]] + [
+        (1000 + i, t, l) for i, (_, t, l) in enumerate(chunk1[:10])
+    ]
+    schema = "doc_id long, text string, lang string"
+    spark.createDataFrame(chunk1, schema).coalesce(1).write.parquet(
+        f"{docs_dir}/c0"
+    )
+    spark.createDataFrame(chunk2, schema).coalesce(1).write.parquet(
+        f"{docs_dir}/c1"
+    )
+    # register both subdirs as one glob source; maxFilesPerTrigger via
+    # the default (files arrive together but state dedups regardless)
+    out = dedup_stream(spark, f"{docs_dir}/c*")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", f"{tmpdir}/dckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM dedup_out").collect()
+    # 100 distinct texts; the 10 re-arrivals emit nothing new
+    assert len(got) == 100
+    assert all(r.is_new for r in got)
+    # canonical = min doc_id per content (re-arrivals got ids 1000+)
+    canon = {r.content_hash: r.canonical_id for r in got}
+    assert all(c < 1000 for c in canon.values())
+    # matches the batch groupBy over the same union
+    union = spark.createDataFrame(chunk1 + chunk2, schema)
+    from pyspark.sql import functions as F
+
+    batch = {
+        r["h"]: r["c"]
+        for r in union.groupBy(
+            F.md5(F.col("text").cast("binary")).alias("h")
+        ).agg(F.min("doc_id").alias("c")).collect()
+    }
+    assert canon == batch
