@@ -253,7 +253,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into all four self-join branches. At production scale this persist
     # becomes a checkpointed signature table (SURVEY.md §7.1 M5). The
     # handle is scope-managed: released before the next registry query
-    # runs (caching.py), so a 45-query session never accumulates caches.
+    # runs (caching.py), so a 60-query session never accumulates caches.
     sh = scoped_persist(_signed(spark, sf_dir))
     # scalable LSH plan: one row per (band_idx, band_hash), equi-join on both
     exploded = sh.select(
