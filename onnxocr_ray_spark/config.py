@@ -14,7 +14,7 @@ set; no per-row cost).
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
-from typing import Tuple
+from typing import Callable, Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -80,6 +80,23 @@ class ExtractConfig:
 
     # --- scoring weights for the content-density heuristic (detect) ---
     tag_weight: float = 3.0
+
+    # --- real-model provider wiring (models.py stage_providers) ---
+    # None everywhere = the deterministic stand-in kernels (the default
+    # everywhere in this container). Setting the model paths routes the
+    # classify/recognize stages through OrtClassifier/OrtRecognizer over
+    # synthetic crop rasters (rasterize.render_crop): ship the .onnx via
+    # --files / SparkFiles and pass its worker-local path; rec_charset is
+    # the recognizer's decode dictionary (the reference's
+    # rec_char_dict_path contents) and is REQUIRED with rec_model_path.
+    # provider_factory is the dependency-injection hook (tests drive the
+    # full ORT path through it with a cloudpickled fake-ORT factory): a
+    # zero-arg callable built INSIDE each worker returning
+    # (classifier, recognizer) with the models.py call contracts.
+    cls_model_path: Optional[str] = None
+    rec_model_path: Optional[str] = None
+    rec_charset: Optional[Tuple[str, ...]] = None
+    provider_factory: Optional[Callable[[], Tuple[Callable, Callable]]] = None
 
 
 DEFAULT_CONFIG = ExtractConfig()

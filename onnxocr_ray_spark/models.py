@@ -145,9 +145,21 @@ class OrtRecognizer:
         self._pre = rec_resize_norm
         self._decode = ctc_greedy_decode
 
+    _warned_widths = False
+
     def __call__(self, images, rec_widths=None):
         import numpy as np
 
+        if rec_widths is not None and not OrtRecognizer._warned_widths:
+            OrtRecognizer._warned_widths = True
+            import logging
+
+            logging.getLogger(__name__).info(
+                "OrtRecognizer ignores precomputed rec_widths: the real "
+                "model derives each chunk's shared width from raster "
+                "aspect ratios (predict_rec.py:93-101), so width-packing "
+                "semantics differ from StandinRecognizer"
+            )
         n = len(images)
         ratios = [im.shape[1] / float(im.shape[0]) for im in images]
         order = sorted(range(n), key=lambda i: ratios[i])
@@ -175,11 +187,14 @@ def classifier_provider(model_path: Optional[str] = None) -> Callable:
     Call-contract note: both families take one batch list, but the item
     REPRESENTATION differs — the stand-ins consume the extraction
     kernel's text-span payloads (``Region.raw``), the Ort wrappers
-    consume HxWx3 uint8 rasters. Swapping in a real model therefore also
-    requires the span->raster step (crop + perspective transform of the
-    source image) in the stage feeding the provider; that wiring lives
-    with the stage, not here. ``tests/test_models_qa.py`` pins both
-    contracts with synthetic rasters."""
+    consume HxWx3 uint8 rasters. The span->raster step (the analog of
+    the reference's crop + perspective transform) is
+    ``rasterize.render_crop``, and the stage wiring is
+    ``operators/extract.py:_process_doc_spans`` — provider mode is a
+    config swap (cls_model_path/rec_model_path/rec_charset), parity
+    tested end-to-end in ``tests/test_provider_pipeline.py``.
+    ``tests/test_models_qa.py`` pins both contracts with synthetic
+    rasters."""
     if model_path is not None:
         if not HAVE_ORT:
             raise RuntimeError(
@@ -208,3 +223,47 @@ def recognizer_provider(model_path: Optional[str] = None,
             )
         return OrtRecognizer(model_path, charset)  # pragma: no cover
     return StandinRecognizer()
+
+
+def provider_mode(cfg) -> bool:
+    """True when the classify/recognize stages should run through model
+    providers over synthetic crop rasters instead of the stand-in text
+    kernels (operators/extract.py consults this per batch)."""
+    return (
+        cfg.provider_factory is not None
+        or cfg.cls_model_path is not None
+        or cfg.rec_model_path is not None
+    )
+
+
+def stage_providers(cfg):
+    """(classifier, recognizer) for the classify/recognize stages, built
+    lazily INSIDE the worker from the config's model paths (or from its
+    injected provider_factory), and cached per worker so every Arrow
+    batch reuses the same sessions. The factory path caches on the
+    deserialized factory object itself — each task ships a fresh closure,
+    but the underlying ORT sessions are still shared via _SESSION_CACHE."""
+    if cfg.provider_factory is not None:
+        got = getattr(cfg.provider_factory, "_providers", None)
+        if got is None:
+            got = cfg.provider_factory()
+            try:
+                cfg.provider_factory._providers = got
+            except AttributeError:  # e.g. a bound method / partial
+                pass
+        return got
+    key = (cfg.cls_model_path, cfg.rec_model_path, cfg.rec_charset)
+    got = _PROVIDER_CACHE.get(key)
+    if got is None:
+        got = (
+            classifier_provider(cfg.cls_model_path),
+            recognizer_provider(
+                cfg.rec_model_path,
+                list(cfg.rec_charset) if cfg.rec_charset else None,
+            ),
+        )
+        _PROVIDER_CACHE[key] = got
+    return got
+
+
+_PROVIDER_CACHE: Dict[tuple, tuple] = {}

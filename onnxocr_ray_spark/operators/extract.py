@@ -176,6 +176,72 @@ def _process_span(raw: str, rec_width: int, cfg: ExtractConfig):
     return label, conf, text, score
 
 
+def _process_doc_spans(raws: List[str], rec_widths: List[int], cfg: ExtractConfig):
+    """classify -> rotate -> recognize for one batch of spans.
+
+    Default: the deterministic stand-in kernels, span by span. When the
+    config carries model providers (models.provider_mode), the batch
+    instead flows through the real-model plumbing — render_crop
+    rasterizes each span (the crop analog of `onnx_paddleocr.py:84-100`),
+    OrtClassifier batches/chunks/classifies, the rotation is applied in
+    span space and re-rendered (the synthetic-raster equivalent of
+    np.rot90 on a pixel crop, `predict_cls.py:82-83`), and OrtRecognizer
+    runs the batched CTC decode. Providers are built lazily per worker
+    (models.stage_providers); the rasterizer is imported lazily so the
+    stand-in hot path pays nothing.
+    """
+    from onnxocr_ray_spark.models import provider_mode, stage_providers
+
+    if not provider_mode(cfg):
+        return [
+            _process_span(r, int(w), cfg) for r, w in zip(raws, rec_widths)
+        ]
+    from onnxocr_ray_spark.rasterize import render_crop
+
+    clf, rec = stage_providers(cfg)
+    if cfg.use_angle_cls:
+        cls_out = clf(
+            [render_crop(r, int(w), "cls") for r, w in zip(raws, rec_widths)]
+        )
+    else:
+        cls_out = [("0", 1.0)] * len(raws)
+    rotated = [
+        maybe_rotate(r, label, conf, cfg.cls_thresh)
+        for r, (label, conf) in zip(raws, cls_out)
+    ]
+    rec_out = rec(
+        [render_crop(r, int(w), "rec") for r, w in zip(rotated, rec_widths)],
+        rec_widths=[int(w) for w in rec_widths],
+    )
+    return [
+        (label, conf, text, score)
+        for (label, conf), (text, score) in zip(cls_out, rec_out)
+    ]
+
+
+def _rec_doc(spans, cfg: ExtractConfig) -> List[dict]:
+    """One document's detected spans -> recognized span dicts (the shared
+    tail of every classify/recognize path; batches the whole document
+    through _process_doc_spans so provider mode sees per-document batches,
+    matching the reference's per-image predict loops)."""
+    results = _process_doc_spans(
+        [s["raw"] for s in spans], [int(s["rec_width"]) for s in spans], cfg
+    )
+    return [
+        {
+            "box": s["box"],
+            "det_score": s["det_score"],
+            "angle": label,
+            "cls_conf": conf,
+            "text": text,
+            "score": score,
+            "batch_id": s["batch_id"],
+            "rec_width": s["rec_width"],
+        }
+        for s, (label, conf, text, score) in zip(spans, results)
+    ]
+
+
 def classify_recognize_grouped(detected: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
     """Fast path: spans stay an array column; narrow mapInPandas, 0 shuffles."""
 
@@ -183,23 +249,7 @@ def classify_recognize_grouped(detected: DataFrame, cfg: ExtractConfig = DEFAULT
         for pdf in batches:
             out_spans = []
             for spans in pdf["spans"]:
-                doc = []
-                for s in spans:
-                    label, conf, text, score = _process_span(
-                        s["raw"], int(s["rec_width"]), cfg
-                    )
-                    doc.append(
-                        {
-                            "box": s["box"],
-                            "det_score": s["det_score"],
-                            "angle": label,
-                            "cls_conf": conf,
-                            "text": text,
-                            "score": score,
-                            "batch_id": s["batch_id"],
-                            "rec_width": s["rec_width"],
-                        }
-                    )
+                doc = _rec_doc(spans, cfg)
                 out_spans.append(doc)
             yield pd.DataFrame({"url": pdf["url"].values, "spans": out_spans})
 
@@ -241,9 +291,9 @@ def classify_recognize_exploded(detected: DataFrame, cfg: ExtractConfig = DEFAUL
 
     @F.pandas_udf(_SPAN_UDF_T)
     def span_udf(raw: pd.Series, rec_width: pd.Series) -> pd.DataFrame:
-        rows = [
-            _process_span(r, int(w), cfg) for r, w in zip(raw, rec_width)
-        ]
+        # whole Arrow batch through one provider/stand-in call — provider
+        # mode chunks internally, so straggler spans batch across docs
+        rows = _process_doc_spans(list(raw), [int(w) for w in rec_width], cfg)
         return pd.DataFrame(rows, columns=["angle", "cls_conf", "text", "score"])
 
     done = spans.withColumn("r", span_udf(F.col("s.raw"), F.col("s.rec_width")))
@@ -321,23 +371,7 @@ def extract_fused(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> Data
                 out_spans = []
                 for h in chunk["html"]:
                     spans = _detect_doc(bytes(h) if h is not None else None, cfg)
-                    doc = []
-                    for s in spans:
-                        label, conf, text, score = _process_span(
-                            s["raw"], s["rec_width"], cfg
-                        )
-                        doc.append(
-                            {
-                                "box": s["box"],
-                                "det_score": s["det_score"],
-                                "angle": label,
-                                "cls_conf": conf,
-                                "text": text,
-                                "score": score,
-                                "batch_id": s["batch_id"],
-                                "rec_width": s["rec_width"],
-                            }
-                        )
+                    doc = _rec_doc(spans, cfg)
                     out_spans.append(doc)
                 yield pd.DataFrame({"url": chunk["url"].values, "spans": out_spans})
 
@@ -385,23 +419,7 @@ def extract_routed(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
                         big_out.append(True)
                         continue
                     spans = _detect_doc(data, cfg)
-                    doc = []
-                    for s in spans:
-                        label, conf, text, score = _process_span(
-                            s["raw"], s["rec_width"], cfg
-                        )
-                        doc.append(
-                            {
-                                "box": s["box"],
-                                "det_score": s["det_score"],
-                                "angle": label,
-                                "cls_conf": conf,
-                                "text": text,
-                                "score": score,
-                                "batch_id": s["batch_id"],
-                                "rec_width": s["rec_width"],
-                            }
-                        )
+                    doc = _rec_doc(spans, cfg)
                     rec_out.append(doc)
                     det_out.append(None)
                     big_out.append(False)

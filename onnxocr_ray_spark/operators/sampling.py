@@ -134,7 +134,7 @@ N_SHARDS = 16
     SELECT cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
              % {N_SHARDS} AS shard,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS min_doc,
            max(doc_id) AS max_doc
     FROM documents

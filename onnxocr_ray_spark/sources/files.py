@@ -57,7 +57,7 @@ def _register_b64_query():
 
     @register(
         "src_base64_roundtrip",
-    priority=0,
+        priority=0,
         sql="""
         SELECT doc_id,
                base64(encode(text)) AS b64,

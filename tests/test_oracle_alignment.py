@@ -39,6 +39,29 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema.fields) > 0
 
 
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_dtypes_align(spark, duck, name):
+    """Pre-flight for the driver's VALUE-HASH compare: `compare_frames`
+    treats 11628.0 == 11628 as equal, but the driver hashes serialized
+    values, so a DuckDB HUGEINT→float64 column vs a Spark long column
+    hash-differently even with identical values (r03 `shard_manifest`
+    red row). Fail here, in pytest, whenever one engine returns a float
+    dtype where the other returns an integer dtype — the fix is a CAST
+    in the oracle SQL (or .cast() Spark-side)."""
+    q = QUERIES[name]
+    spark_pdf = q.fn(spark, SF0001).toPandas()
+    duck_pdf = duck.sql(q.sql).df()
+    for col in sorted(set(spark_pdf.columns) & set(duck_pdf.columns)):
+        sk = spark_pdf[col].dtype.kind
+        dk = duck_pdf[col].dtype.kind
+        int_vs_float = {sk, dk} == {"f", "i"} or {sk, dk} == {"f", "u"}
+        assert not int_vs_float, (
+            f"{name}.{col}: spark dtype kind {sk!r} vs duckdb {dk!r} — "
+            "identical values will still hash-mismatch in the driver; "
+            "CAST one side so both engines agree on int-vs-float"
+        )
+
+
 def test_registry_order_puts_oracle_backed_first():
     """The driver's correctness gate checks the FIRST 50 registered
     queries per round (observed in r02), so ordering is contract:
