@@ -143,3 +143,72 @@ def extract_golden_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _GOLDEN_DOCS, "doc_id long, text string, lang string"
     )
     return extract(pages_from_docs_df(docs)).select("url", "n_spans", "checksum")
+
+
+# Poly-config golden pins (VERDICT r3 item 6): same 12 fixture docs run
+# with det_box_type="poly" (the polygons_from_bitmap analog,
+# kernels/detect.py; reference db_postprocess.py:58-100). The text
+# checksum alone would under-evidence the branch (poly mostly changes
+# GEOMETRY), so each row also pins box_sig = md5 of the outline
+# vertices in integer milli-coordinates (floor(x*1000+0.5) — identical
+# half-up rounding on both engines; JSON is Spark's to_json compact
+# form). Note docs 5 and 8 change their text checksums too: the outline
+# merge joins region sets differently there. Pinned from the serial
+# oracle; drift-guarded in tests/test_extract_parity.py.
+_GOLDEN_SAMPLE_POLY = [
+    ("https://example.org/en/udaxihhe/0", 0, "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855", "d751713988987e9331980363e24189ce"),
+    ("https://example.org/en/qpnowqxe/1", 0, "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855", "d751713988987e9331980363e24189ce"),
+    ("https://example.org/en/ppmwlagk/2", 3, "75e89ddf9021429825e489b1ff1505f9857cb0b7c9b02bd56e95693f0cb17ec6", "39e57c6d744f5a2cd8fae4272aefe9a7"),
+    ("https://example.org/zh/alxhfief/3", 82, "4faae23ff9f8de96bf78dea425ea86bf10703d61341f4875181f590d9c0424df", "945e6567f7438c1db1ccc5e2d4786f33"),
+    ("https://example.org/es/lnvqsemi/4", 4, "ce7c4ce999066cb4101592b0f00384dd267509f271abf265ed7bc85c4f0d7409", "27e3dc532e26f2c1ca02d24cf689ce1a"),
+    ("https://example.org/de/acjqpasx/5", 4, "f39cd1d3ce96d33df8f445d6b56c01674b83fd45ff77ec333083f1e67376977c", "b0ebe9aaaf1208ede7add2408ef11ee2"),
+    ("https://example.org/es/gmsugbsz/6", 3, "1292c3b4eb7b17145da2e3b82564e1afbec470f6c37fb8204339c6c55f57b8aa", "d739edfc676447565b00fcff904a6915"),
+    ("https://example.org/de/mkorhbrl/7", 6, "62dba700d46bcbe5e15e91e6843138e39acd32a8a10862d0f06a97d4fb53cb20", "62a002d7227ad75919990402b1ae1004"),
+    ("https://example.org/zh/dlzmrnbn/8", 8, "a9ab0ddee389419d57b22ea0fe66716f0f0526ca37f0e024fa55c67cb295af2f", "90ad3e8e1671a774f4838f427f94adb4"),
+    ("https://example.org/en/newugfir/9", 6, "af965dbd4f77ba83e192efe08cb24c6c9ad5a36fbd1498625fab326e7e96b880", "234be70391262582909a8a6a51ee5227"),
+    ("https://example.org/es/iwdkddmc/10", 4, "e5d4ef5b3c0756f5cd2e2a094464ff4bb9a02df1feee28a6d39d508e105ad161", "970235f0924573af08e9978da0d3cc0d"),
+    ("https://example.org/de/wycwjjyg/11", 5, "e03d11689a63365af9bab46fb8d15087f7c309463a85200749bf4e7a8a1c6805", "5d6c875a046c3508be6d0beb0b5ede37"),
+]
+
+_GOLDEN_POLY_VALUES_SQL = ",\n      ".join(
+    f"('{u}', {n}, '{c}', '{b}')" for u, n, c, b in _GOLDEN_SAMPLE_POLY
+)
+
+# md5 over the outline vertices in integer milli-coordinates; floor(x+0.5)
+# is half-up on the positive char-grid coords, matching the Python-side
+# pin generator exactly (no banker's rounding mismatch)
+_BOX_SIG_EXPR = (
+    "md5(to_json(transform(spans, s -> transform(s.box, "
+    "p -> array(cast(floor(p[0] * 1000d + 0.5d) as long), "
+    "cast(floor(p[1] * 1000d + 0.5d) as long))))))"
+)
+
+
+@register(
+    "extract_golden_sample_poly",
+    priority=1,
+    sql=f"""
+    SELECT * FROM (VALUES
+      {_GOLDEN_POLY_VALUES_SQL}
+    ) AS t(url, n_spans, checksum, box_sig)
+    """,
+    doc=(
+        "flagship byte-identity under det_box_type='poly' (post_db_poly, "
+        "db_postprocess.py:58-100 analog), driver-checked: extract() over "
+        "the 12 edge-bucket docs vs serial-oracle-pinned goldens incl. a "
+        "geometry hash of the simplified outlines"
+    ),
+)
+def extract_golden_sample_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclasses import replace
+
+    from onnxocr_ray_spark.config import DEFAULT_CONFIG
+    from onnxocr_ray_spark.sources.pages import pages_from_docs_df
+
+    cfg = replace(DEFAULT_CONFIG, det_box_type="poly")
+    docs = spark.createDataFrame(
+        _GOLDEN_DOCS, "doc_id long, text string, lang string"
+    )
+    return extract(pages_from_docs_df(docs), cfg).select(
+        "url", "n_spans", "checksum", F.expr(_BOX_SIG_EXPR).alias("box_sig")
+    )

@@ -47,6 +47,7 @@ _B2_HEX = ["2", "3", "6", "7", "a", "b", "e", "f"]
 
 @register(
     "dedup_exact",
+    priority=85,  # rotation: green r1-r3, parked this round (rotate back next)
     sql="""
     SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
     FROM documents GROUP BY md5(text)
@@ -67,6 +68,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact_keep",
+    priority=85,  # rotation: green r1-r3, parked this round (rotate back next)
     sql="""
     SELECT doc_id FROM (
       SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper

@@ -44,7 +44,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from onnxocr_ray_spark.caching import scoped_persist
 from onnxocr_ray_spark.config import DEFAULT_CONFIG, ExtractConfig
 from onnxocr_ray_spark.kernels.classify import classify_angle, maybe_rotate
 from onnxocr_ray_spark.kernels.pipeline import detect_sorted
@@ -387,10 +386,30 @@ ROUTED_SCHEMA = T.StructType(
     ]
 )
 
-# handle of the previous extract() call's routed cache — released on the
-# next call so repeated invocations (streaming epochs, bench loops) never
-# accumulate cached blocks (see caching.py)
-_PREV_ROUTED: List[DataFrame] = []
+# spill dir of the previous extract() call's routed pass — removed on the
+# next call (and at interpreter exit) so repeated invocations (streaming
+# epochs, bench loops) never accumulate spilled output
+_PREV_SPILL_DIRS: List[str] = []
+
+
+def _cleanup_spill_dirs() -> None:
+    import shutil
+
+    while _PREV_SPILL_DIRS:
+        shutil.rmtree(_PREV_SPILL_DIRS.pop(), ignore_errors=True)
+
+
+def _new_spill_dir() -> str:
+    import atexit
+    import tempfile
+
+    if not _PREV_SPILL_DIRS:
+        atexit.register(_cleanup_spill_dirs)
+    else:
+        _cleanup_spill_dirs()
+    d = tempfile.mkdtemp(prefix="onnxocr_routed_spill_")
+    _PREV_SPILL_DIRS.append(d)
+    return d
 
 
 def extract_routed(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
@@ -493,30 +512,29 @@ def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
 def _routed_spans(pages: DataFrame, cfg: ExtractConfig,
                   span_partitions: Optional[int],
                   straggler_html_bytes: int) -> DataFrame:
-    """Exact-shape strategy body: per-row routed pass (persisted once) +
+    """Exact-shape strategy body: per-row routed pass (spilled once) +
     the small/big branch consumers, returning the pre-assemble
     ``(url, spans)`` union. Also used by the sized strategy for rows
     whose ``html_size`` stat is NULL (unknown size -> per-row decision
     keeps straggler protection)."""
-    # this call owns the cache lifecycle of ITS routed pass only: release
-    # the previous call's handle (streaming epochs / bench loops), persist
-    # the new one for the two branch consumers below
-    while _PREV_ROUTED:
-        try:
-            _PREV_ROUTED.pop().unpersist(blocking=False)
-        except Exception:
-            pass  # previous handle belonged to a stopped session
-    routed = scoped_persist(extract_routed(pages, cfg, straggler_html_bytes))
-    _PREV_ROUTED.append(routed)
-    # Build the cache EAGERLY before the union job: the small/big legs are
-    # sibling tasks of ONE stage, and at high parallelism they race on the
-    # same uncached partitions — measured as the kernel executing twice
-    # (local[8] ran 200k docs at 6.6k docs/s vs 9.6k at half the corpus;
-    # local[2] was unaffected because its tasks serialize and leg 2 found
-    # a warm cache). One count() materializes every partition exactly once.
-    # NOTE the cache is output-sized: at 100 TB prefer a sized table (an
-    # html_size ingest stat), whose strategy needs no cache at all.
-    routed.count()
+    # The routed pass is materialized EXACTLY ONCE by writing it to a
+    # temp parquet table, then both branch consumers scan that table.
+    # Two reasons this is a spill, not a persist:
+    #  - eager materialization kills the branch race (the small/big legs
+    #    are sibling tasks of ONE stage and at high parallelism raced on
+    #    the same uncached partitions — measured as the kernel executing
+    #    twice: local[8] ran 200k docs at 6.6k docs/s vs 9.6k at half
+    #    the corpus);
+    #  - at 100 TB an output-sized MEMORY_AND_DISK cache of a schema-less
+    #    input would evict real working set; parquet on the shuffle-local
+    #    disks is bounded and the is_big branch filters push down to the
+    #    rescan. Sized tables (an html_size ingest stat) remain the
+    #    production default and need neither cache nor spill.
+    spill_dir = _new_spill_dir()
+    extract_routed(pages, cfg, straggler_html_bytes).write.parquet(
+        spill_dir, mode="overwrite"
+    )
+    routed = pages.sparkSession.read.parquet(spill_dir)
 
     rec_small = routed.filter(~F.col("is_big")).select("url", "spans")
     # The straggler branch handles the heavy TAIL — few documents by

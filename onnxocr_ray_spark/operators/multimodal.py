@@ -33,6 +33,7 @@ except ImportError:
 
 @register(
     "mm_payload_meta",
+    priority=85,  # rotation: green r1-r3, parked this round (rotate back next)
     sql="""
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
@@ -233,6 +234,7 @@ def mm_resize(pages_like: DataFrame, target: int = 960, payload_col: str = "payl
 
 @register(
     "mm_resize_meta",
+    priority=85,  # rotation: green r1-r3, parked this round (rotate back next)
     sql="""
     WITH geo AS (
       SELECT doc_id,

@@ -112,7 +112,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "running_total",
-    priority=80,
+    priority=15,
     sql="""
     SELECT user_id, event_id,
            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -139,7 +139,7 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "median_by_type",
-    priority=80,
+    priority=15,
     sql="""
     SELECT event_type,
            round(quantile_cont(value, 0.5), 6) AS median_value,

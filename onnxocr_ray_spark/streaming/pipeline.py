@@ -190,6 +190,7 @@ def dedup_stream(
     spark: SparkSession,
     docs_dir: str,
     schema: Optional[str] = None,
+    max_files_per_trigger: Optional[int] = None,
 ) -> DataFrame:
     """Streaming exact dedup: emit each distinct content exactly once
     across the WHOLE stream (cross-micro-batch), the streaming form of
@@ -206,7 +207,17 @@ def dedup_stream(
 
     At 10^12 docs this state shards across the cluster by hash exactly
     like the batch groupBy — same shuffle key, same skew profile — and
-    the RocksDB state store holds (hash -> 16 bytes).
+    the RocksDB state store holds (hash -> 16 bytes). Production conf
+    for that footprint (the default HDFS-backed provider keeps state on
+    the JVM heap and full-snapshots each checkpoint):
+
+        spark.sql.streaming.stateStore.providerClass=
+          org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+        spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled=true
+
+    ``max_files_per_trigger`` bounds each micro-batch's file intake
+    (admission control for backfills; also how tests force genuinely
+    separate triggers).
     """
     import pandas as pd
 
@@ -235,7 +246,10 @@ def dedup_stream(
             }
         )
 
-    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
     hashed = stream.select(
         F.md5(F.col("text").cast("binary")).alias("content_hash"),
         "doc_id",

@@ -128,3 +128,36 @@ def test_golden_sample_pins_match_serial_oracle():
     res = extract_serial(pages_local(_GOLDEN_DOCS))
     got = [(u, r.n_spans, r.checksum) for u, r in res.items()]
     assert sorted(got) == sorted(_GOLDEN_SAMPLE)
+
+
+def test_golden_sample_poly_pins_match_serial_oracle():
+    """Same drift guard for the poly-config pins, including the
+    geometry hash (box_sig pins regenerate with the same formula here
+    if the outline algorithm legitimately changes)."""
+    import hashlib
+    import json
+    import math
+    from dataclasses import replace
+
+    from onnxocr_ray_spark.entrypipeline import _GOLDEN_DOCS, _GOLDEN_SAMPLE_POLY
+
+    cfg = replace(DEFAULT_CONFIG, det_box_type="poly")
+    res = extract_serial(pages_local(_GOLDEN_DOCS), cfg)
+
+    def box_sig(spans):
+        boxes = [
+            [
+                [
+                    int(math.floor(p[0] * 1000 + 0.5)),
+                    int(math.floor(p[1] * 1000 + 0.5)),
+                ]
+                for p in s.box
+            ]
+            for s in spans
+        ]
+        return hashlib.md5(
+            json.dumps(boxes, separators=(",", ":")).encode()
+        ).hexdigest()
+
+    got = [(u, r.n_spans, r.checksum, box_sig(r.spans)) for u, r in res.items()]
+    assert sorted(got) == sorted(_GOLDEN_SAMPLE_POLY)
