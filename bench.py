@@ -194,6 +194,13 @@ def main() -> None:
             "low_docs_per_sec": s["low"]["docs_per_sec"],
             "high_docs_per_sec": s["high"]["docs_per_sec"],
             "efficiency": s["efficiency"],
+            # the headline is a ratio of per-level minima (best-case
+            # upper bound); the median paired round is the typical
+            # figure on this throttling host — surfaced side-by-side
+            # so readers see both (ADVICE r3)
+            "median_all_rounds_efficiency": s.get(
+                "median_all_rounds_efficiency"
+            ),
             "pass": s["pass"],
             "methodology": s.get("methodology"),
             "clean_rounds": s.get("clean_rounds"),
