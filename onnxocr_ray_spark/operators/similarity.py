@@ -14,7 +14,7 @@ Embedding near-dup (the dedup-family member) also lives here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from onnxocr_ray_spark.functions import cosine_sim
@@ -162,4 +162,118 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", "label", cos.alias("cos"))
         .filter(F.col("cos") >= 0.3)
+    )
+
+
+_QCOS_SQL = """round(list_sum(list_transform(range(1, 65), i -> a.v[i] * q.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(q.v, x -> x * x)))), 6)"""
+
+_CCOS_SQL = """round(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.cv[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6)"""
+
+_IVF_K = 8       # coarse centroids (seeds); grows with corpus size
+_IVF_NPROBE = 2  # centroid lists searched per query
+
+
+@register(
+    "ann_ivf_probe",
+    priority=12,
+    sql=f"""
+    WITH e AS ({_E_SQL}),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_K}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_CCOS_SQL} DESC, c.cid) AS rn
+        FROM e a, c) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY {_CCOS_SQL} DESC, c.cid) AS rn
+        FROM (SELECT v FROM e WHERE vec_id = 0) a, c) WHERE rn <= {_IVF_NPROBE}
+    )
+    SELECT a.vec_id, s.cid AS centroid_id, {_QCOS_SQL} AS cos
+    FROM e a
+    JOIN assign s ON a.vec_id = s.vec_id
+    JOIN qprobe p ON s.cid = p.cid,
+    (SELECT v FROM e WHERE vec_id = 0) q
+    WHERE a.vec_id <> 0
+    ORDER BY cos DESC, a.vec_id
+    LIMIT 10
+    """,
+    doc=(
+        "training-data op: IVF-style ANN — training-free coarse quantizer "
+        "(K deterministic seed vectors), inverted-list assignment by "
+        "nearest centroid, query probes only the top-nprobe lists"
+    ),
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN, the scale path beyond one sign-LSH bucket.
+
+    Structure (all deterministic, so the DuckDB oracle reproduces it
+    exactly):
+
+    - **Coarse quantizer**: K seed vectors chosen by a fixed rule
+      (smallest vec_ids) stand in for trained k-means centroids — the
+      plumbing (broadcast centroids, argmax assignment, inverted lists,
+      nprobe search) is identical to a trained IVF; swapping in trained
+      centroids changes only the seed table.
+    - **Assignment** (index build): one crossJoin against the K
+      broadcast centroids projected to SKINNY rows (vec_id, cid, cos) —
+      the 512-byte vector column never enters the shuffle — then a
+      row_number window keyed by vec_id picks the argmax
+      (round-then-order ties broken by cid on both engines).
+    - **Probe** (query): cosine against K centroids picks nprobe lists;
+      the probed-cid semi-filter lands BEFORE the fat join back to the
+      vectors, so only ~n*nprobe/K full vectors are read for exact
+      scoring.
+
+    At 10^12 vectors: K grows to ~sqrt(n) (still broadcastable at
+    ~10^6 x 512 B), assignment is a map-side broadcast join + one skinny
+    shuffle, the index is written once partitionBy(cid), and a query
+    touches nprobe partitions — the standard IVF cost model, expressed
+    as DataFrame ops.
+    """
+    e = _vecs(spark, sf_dir)
+    c = F.broadcast(
+        e.filter(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    ccos = F.round(cosine_sim(F.col("v"), F.col("cv")), 6)
+    # skinny assignment rows: the fat v column stays out of the shuffle
+    scored = e.crossJoin(c).select("vec_id", "cid", ccos.alias("ccos"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cid")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    qprobe = F.broadcast(
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("v").alias("qv"))
+        .crossJoin(c)
+        .select("cid", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6).alias("qcos"))
+        .orderBy(F.col("qcos").desc(), "cid")
+        .limit(_IVF_NPROBE)
+        .select("cid")
+    )
+    probed = assign.join(qprobe, "cid").select("vec_id", F.col("cid").alias("centroid_id"))
+    return (
+        e.join(probed, "vec_id")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(cosine_sim(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
     )

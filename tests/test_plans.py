@@ -210,3 +210,24 @@ def test_salted_agg_has_two_phase_exchanges(spark, queries):
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(exchanges) >= 2, plan
     assert any("salt" in l for l in exchanges), plan
+
+
+def test_ann_ivf_assignment_shuffles_skinny_rows(spark, queries):
+    # IVF: centroids broadcast (never a cartesian against the big side);
+    # the argmax assignment shuffles on vec_id with a MAP-SIDE top-1
+    # (WindowGroupLimit Partial) so each task forwards at most one skinny
+    # (vec_id, cid, ccos) row per vector — the 64-float vector column
+    # stays out of the exchange
+    plan = plan_of(queries["ann_ivf_probe"].fn(spark, SF0001))
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    ex = next(
+        i for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(vec_id" in l
+    )
+    # map-side partial limit sits directly under the assignment exchange
+    below = "\n".join(lines[ex:ex + 3])
+    assert "WindowGroupLimit" in below and "Partial" in below, below
+    # the window's own output is the skinny triple, not the vector
+    win = next(l for l in lines if "+- Window [" in l)
+    assert "ccos" in win and " v#" not in win, win
