@@ -189,17 +189,29 @@ def tokenize_blocks(src: str) -> List[RawBlock]:
             order += 1
         cur = _BlockBuilder()
 
+    def advance_src(start: int, end: int) -> None:
+        # advance() over src[start:end] WITHOUT building the substring:
+        # geometry needs only the newline count and the tail length
+        nonlocal line, col
+        nl = src.count("\n", start, end)
+        if nl:
+            line += nl
+            col = end - src.rfind("\n", start, end) - 1
+        else:
+            col += end - start
+
     for m in _TAG_RE.finditer(src):
-        if m.start() > pos:
-            feed_text(src[pos:m.start()])
-        pos = m.end()
-        tag_src = m.group(0)
+        start = m.start()
+        if start > pos:
+            feed_text(src[pos:start])
+        end = pos = m.end()
         name = m.group(2)
         if name is None:
-            advance(tag_src)  # comment / doctype
+            advance_src(start, end)  # comment / doctype
             continue
-        closing = m.group(1) == "/"
-        self_closing = m.group(4) == "/"
+        g1, g4 = m.group(1, 4)
+        closing = g1 == "/"
+        self_closing = g4 == "/"
         name = name.lower()
         if name in SKIP_TAGS:
             # A self-closed skip tag (<svg/>, <iframe />) opens nothing —
@@ -235,7 +247,7 @@ def tokenize_blocks(src: str) -> List[RawBlock]:
                 # open anything) swallowed into the current block
                 cur.n_tags += 1
                 cur.has_payload = True
-        advance(tag_src)
+        advance_src(start, end)
     if pos < len(src):
         feed_text(src[pos:])
     flush()

@@ -144,12 +144,21 @@ def span_confidence(text: str, rec_width: int) -> float:
     reference's batch-composition-dependent padding (SURVEY.md §4.1.1).
     Empty text -> 0.0.
     """
-    tokens = text.split(" ") if text else []
-    tokens = [t for t in tokens if t]
-    if not tokens:
+    if not text:
         return 0.0
-    mean = sum(token_confidence(t) for t in tokens) / len(tokens)
-    return mean - 1e-4 * float(rec_width % 8)
+    # token_confidence inlined (43k calls/500 docs showed up in the
+    # profile); the per-token expression is kept IDENTICAL so the
+    # accumulated float is bit-equal to the unrolled form
+    findall = _WORD_CHAR_RE.findall
+    total = 0.0
+    n = 0
+    for t in text.split(" "):
+        if t:
+            total += 0.2 + 0.79 * (len(findall(t)) / len(t))
+            n += 1
+    if not n:
+        return 0.0
+    return total / n - 1e-4 * float(rec_width % 8)
 
 
 def recognize_span(raw: str, rec_width: int) -> Tuple[str, float]:
