@@ -289,6 +289,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ---
 
+
+def simhash_of(text) -> str:
+    """Scalar 64-bit SimHash, bit-identical to the batch `dedup_simhash`
+    vectorized kernel and the DuckDB `_SIMHASH_SQL` (equality pinned by
+    tests). Shared by the streaming near-dup operator, which signs one
+    Arrow batch of new docs at a time."""
+    import hashlib
+
+    seen = set()
+    words = []
+    for w in (text or "").strip(" ").lower().split(" "):
+        if w and w not in seen:
+            seen.add(w)
+            words.append(w)
+    if not words:
+        return "0" * SIMHASH_BITS
+    lsb = [0] * 32
+    b2 = [0] * 32
+    for w in words:
+        h = hashlib.md5(w.encode("utf-8")).hexdigest()
+        for j, c in enumerate(h):
+            v = int(c, 16)
+            lsb[j] += 1 if v & 1 else -1
+            b2[j] += 1 if v & 2 else -1
+    return "".join("1" if v > 0 else "0" for v in lsb + b2)
+
+
 _ODD_IN = ",".join(f"'{c}'" for c in _ODD_HEX)
 _B2_IN = ",".join(f"'{c}'" for c in _B2_HEX)
 

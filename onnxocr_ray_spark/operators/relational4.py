@@ -155,3 +155,59 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_tokens") >= 30)
         & (F.col("quality") >= 0.6)
     ).select("doc_id", "lang", "n_tokens", "quality")
+
+
+# --- bucketed co-located join (the 100-TB shuffle-elision story) ---
+
+@register(
+    "bucketed_join_docs_embeddings",
+    priority=12,
+    sql="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    doc=(
+        "engine coverage: co-located join over BUCKETED tables — both "
+        "sides written bucketBy(join key) so the join plans with zero "
+        "Exchange (plan-asserted in tests/test_plans.py); the recipe for "
+        "repeated fact-fact joins at 10^12 rows"
+    ),
+)
+def bucketed_join_docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join documents⋈embeddings on the id key via bucketed tables.
+
+    At 100 TB a fact-fact join shuffles BOTH sides every run; writing the
+    tables bucketed by the join key once (an ingest-time cost) makes every
+    subsequent join a zero-shuffle per-bucket sort-merge — the DataFrame
+    mirror of Iceberg's bucket partition transform. The catalog tables are
+    (re)materialized idempotently per (session, sf_dir) with explicit
+    /tmp paths; correctness is independent of the physical layout, which
+    is why the oracle is the plain join."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    n_buckets = 8
+    base = tempfile.gettempdir()
+    specs = [
+        ("documents", "doc_id", ["doc_id", "lang", "n_chars"]),
+        ("embeddings", "vec_id", ["vec_id", "label"]),
+    ]
+    for name, key, cols in specs:
+        tbl = f"bkt_{name}_{tag}"
+        if not spark.catalog.tableExists(tbl):
+            (
+                load_table(spark, sf_dir, name)
+                .select(*cols)
+                .write.bucketBy(n_buckets, key)
+                .sortBy(key)
+                .option("path", f"{base}/onnxocr_bucketed_{tbl}")
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+    d = spark.table(f"bkt_documents_{tag}")
+    e = spark.table(f"bkt_embeddings_{tag}")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "lang", "n_chars", "label"
+    )

@@ -43,6 +43,15 @@ def register(name: str, sql: Optional[str], doc: str, priority: int = 50):
     this round, get low numbers; long-stable queries green in multiple
     prior rounds get high numbers; sql=None rows-only queries go last
     (their gate is the byte-identity parity pytest suite either way).
+
+    ROTATION POLICY (ADVICE r3): demotion past the 50-cutoff is never
+    permanent. Each round, queries parked at p>=80 that got no driver row
+    last round are bumped back into the checked window (p=15) and an
+    equal number of multi-round-green queries are parked in their place,
+    so every oracle-backed query has a driver row from one of the last
+    two rounds. The in-repo oracle pytest suite checks ALL queries every
+    run regardless (tests/test_oracle_alignment.py), so the gate rotation
+    affects external evidence freshness only, never test coverage.
     """
 
     def deco(fn):

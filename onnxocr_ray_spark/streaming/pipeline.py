@@ -264,3 +264,121 @@ def dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def neardup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    schema: Optional[str] = None,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming SimHash near-dup detection: the cross-micro-batch form
+    of ``dedup_simhash_pairs`` (operators/dedup.py).
+
+    Each arriving document is signed with the shared 64-bit SimHash
+    kernel (``simhash_of`` — bit-identical to the batch vectorized path
+    and the DuckDB oracle), exploded into 4 x 16-bit band rows, and run
+    through ``applyInPandasWithState`` keyed by ``(band_idx, band_key)``.
+    Per bucket the state is the inverted-index shard: every (doc_id,
+    signature) ever seen in the bucket. A new document emits one match
+    row per band whose bucket already holds a signature within
+    Hamming<=3 (exact popcount verify, same rule as the batch query);
+    ``canonical_id`` is the smallest matching earlier doc_id. Banding is
+    pigeonhole-complete at Hamming<=3, so a downstream per-doc min over
+    the match rows reproduces EXACTLY the batch pair set restricted to
+    (earlier, later) — the consistency property the tests pin.
+
+    Ordering semantics: documents in earlier micro-batches are "earlier";
+    within one micro-batch a bucket's rows are processed in doc_id order
+    (so the smaller doc_id is canonical, matching the batch
+    ``a.doc_id < b.doc_id`` convention).
+
+    At 10^12 docs the state is the full signature table sharded by band
+    key — 4 rows x ~16 bytes per doc, hash-partitioned exactly like the
+    batch banded join's shuffle; use the RocksDB state-store conf
+    documented on ``dedup_stream`` for that footprint.
+    """
+    import pandas as pd
+
+    from onnxocr_ray_spark.operators.dedup import (
+        SIMHASH_HAMMING_K,
+        SIMHASH_N_BANDS,
+        simhash_of,
+    )
+
+    schema = schema or "doc_id long, text string, lang string"
+    band_w = 64 // SIMHASH_N_BANDS
+    out_schema = (
+        "doc_id long, band_idx int, canonical_id long, hamming int"
+    )
+    # inverted-index shard: parallel arrays of signatures + doc ids
+    state_schema = "sigs array<string>, ids array<long>"
+
+    def fn(key, pdfs, state):
+        sigs, ids = state.get if state.exists else ([], [])
+        sigs, ids = list(sigs), list(ids)
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        out_doc, out_band, out_canon, out_ham = [], [], [], []
+        band_idx = int(key[0])
+        for doc_id, sig in zip(rows["doc_id"], rows["sig"]):
+            best_id, best_ham = None, None
+            for s, i in zip(sigs, ids):
+                d = sum(a != b for a, b in zip(s, sig))
+                if d <= SIMHASH_HAMMING_K and (best_id is None or i < best_id):
+                    best_id, best_ham = i, d
+            if best_id is not None:
+                out_doc.append(int(doc_id))
+                out_band.append(band_idx)
+                out_canon.append(int(best_id))
+                out_ham.append(int(best_ham))
+            sigs.append(sig)
+            ids.append(int(doc_id))
+        state.update((sigs, ids))
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "band_idx": out_band,
+                    "canonical_id": out_canon,
+                    "hamming": out_ham,
+                }
+            )
+
+    def sign(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "sig": [simhash_of(t) for t in pdf["text"]],
+                }
+            )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+    signed = stream.select("doc_id", "text").mapInPandas(
+        sign, schema="doc_id long, sig string"
+    )
+    bands = signed.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.substring("sig", b * band_w + 1, band_w).alias("band_key"),
+                )
+                for b in range(SIMHASH_N_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.band_key")
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bands.groupBy("band_idx", "band_key").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

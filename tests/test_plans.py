@@ -231,3 +231,19 @@ def test_ann_ivf_assignment_shuffles_skinny_rows(spark, queries):
     # the window's own output is the skinny triple, not the vector
     win = next(l for l in lines if "+- Window [" in l)
     assert "ccos" in win and " v#" not in win, win
+
+
+def test_bucketed_join_has_zero_exchange(spark, queries):
+    # both sides written bucketBy(8, join key): with broadcast disabled
+    # the join must plan as per-bucket sort-merge with NO shuffle — the
+    # co-location property the 100-TB story depends on
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = queries["bucketed_join_docs_embeddings"].fn(spark, SF0001)
+        plan = plan_of(df)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -184,3 +184,112 @@ def test_dedup_stream_multibatch_stress(spark, tmpdir):
         ).agg(F.min("doc_id").alias("c")).collect()
     }
     assert {r.content_hash: r.canonical_id for r in got} == batch_canon
+
+
+def test_neardup_stream_matches_batch_pair_semantics(spark, tmpdir):
+    """Streaming SimHash near-dup: 3 separate micro-batches with exact
+    and near duplicates arriving late. Asserts (a) every emitted match
+    verifies at Hamming<=3, (b) per-doc min(canonical_id) equals the
+    serial replay of the batch pair rule (for each doc, the smallest
+    EARLIER doc within Hamming<=3 — banding is pigeonhole-complete at
+    k=3 so the band-sharded state loses nothing), (c) cross-batch state:
+    a duplicate of a batch-1 doc arriving in batch 3 is caught, (d) one
+    state row per touched band bucket."""
+    import duckdb
+
+    from onnxocr_ray_spark.operators.dedup import (
+        SIMHASH_HAMMING_K,
+        simhash_of,
+    )
+    from onnxocr_ray_spark.streaming.pipeline import neardup_stream
+
+    docs_dir = f"{tmpdir}/ndocs"
+    os.makedirs(docs_dir)
+    base = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{SF0001}/documents.parquet' "
+        "WHERE doc_id < 45 ORDER BY doc_id"
+    ).fetchall()
+    base = [(int(d), t, l) for d, t, l in base]
+    batches = [
+        base[:15],
+        # near dups of batch-1 docs (one word appended barely moves the
+        # signature only if vocab overlaps — exact copies guarantee
+        # hamming 0; word-tweaked copies may or may not be <=3, the
+        # serial replay decides) + fresh docs
+        base[15:30] + [(1000 + i, t, l) for i, (_, t, l) in enumerate(base[:5])],
+        # late exact dups of batch-1 AND batch-2 content + tweaked copies
+        base[30:45]
+        + [(2000 + i, t, l) for i, (_, t, l) in enumerate(base[10:20])]
+        + [(3000 + i, t + " zz", l) for i, (_, t, l) in enumerate(base[:8])],
+    ]
+    schema = "doc_id long, text string, lang string"
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            f"{docs_dir}/c{i}"
+        )
+    out = neardup_stream(spark, f"{docs_dir}/c*", max_files_per_trigger=1)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_stress")
+        .option("checkpointLocation", f"{tmpdir}/nckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    q.stop()
+    got = spark.sql("SELECT * FROM neardup_stress").collect()
+
+    # serial replay: arrival order = batch order, doc_id within batch
+    arrival = [r for b in batches for r in sorted(b)]
+    sig = {d: simhash_of(t) for d, t, _ in arrival}
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    expected = {}
+    seen = []
+    for d, t, l in arrival:
+        matches = [p for p in seen if ham(sig[p], sig[d]) <= SIMHASH_HAMMING_K]
+        if matches:
+            expected[d] = min(matches)
+        seen.append(d)
+    # (a) every emitted row verifies
+    assert all(r.hamming <= SIMHASH_HAMMING_K for r in got)
+    # (b) per-doc min canonical == serial replay of the batch pair rule
+    per_doc = {}
+    for r in got:
+        per_doc[r.doc_id] = min(per_doc.get(r.doc_id, r.canonical_id),
+                                r.canonical_id)
+    assert per_doc == expected, (
+        sorted(set(per_doc) ^ set(expected)),
+        {k: (per_doc.get(k), expected.get(k)) for k in per_doc if per_doc.get(k) != expected.get(k)},
+    )
+    # (c) exact dups always match: batch-3 copies of batch-1/2 content
+    assert all(2000 + i in per_doc for i in range(10))
+    # (d) bounded state: one row per touched (band_idx, band_key) bucket
+    buckets = {
+        (b, sig[d][b * 16:(b + 1) * 16]) for d, _, _ in arrival for b in range(4)
+    }
+    state_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert state_rows == len(buckets), (state_rows, len(buckets))
+
+
+def test_scalar_simhash_matches_sql_oracle():
+    """simhash_of (the streaming-path scalar) must stay bit-identical to
+    the DuckDB _SIMHASH_SQL the batch query is pinned against."""
+    import duckdb
+
+    from onnxocr_ray_spark.operators.dedup import _SIMHASH_SQL, simhash_of
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF0001}/documents.parquet'"
+    )
+    rows = con.sql(_SIMHASH_SQL).fetchall()
+    texts = dict(
+        con.sql("SELECT doc_id, text FROM documents").fetchall()
+    )
+    assert rows
+    for doc_id, sql_sig in rows:
+        assert simhash_of(texts[doc_id]) == sql_sig, doc_id
