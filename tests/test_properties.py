@@ -85,3 +85,23 @@ def test_extract_document_total_on_arbitrary_bytes(payload):
     assert a.checksum == b.checksum
     assert a.n_spans == len(a.spans)
     assert all(s.score >= DEFAULT_CONFIG.drop_score for s in a.spans)
+
+
+@given(st.lists(text_st, min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_scalar_simhash_matches_duckdb_on_arbitrary_text(texts):
+    """Portability fuzz: the scalar simhash (streaming path) and the
+    DuckDB _SIMHASH_SQL (the batch oracle) must agree on ANY unicode
+    payload — exotic whitespace, RTL, control chars, quotes."""
+    import duckdb
+
+    from onnxocr_ray_spark.operators.dedup import _SIMHASH_SQL, simhash_of
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    got = dict(con.sql(_SIMHASH_SQL).fetchall())
+    for i, t in enumerate(texts):
+        assert simhash_of(t) == got[i], (i, repr(t))
