@@ -277,3 +277,123 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos").desc(), "vec_id")
         .limit(10)
     )
+
+
+_Q_SCALE = 1048576.0  # 2^20: quantization grid for the centroid update
+
+
+@register(
+    "ann_ivf_trained",
+    priority=12,
+    sql=f"""
+    WITH e AS ({_E_SQL}),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_K}),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_CCOS_SQL} DESC, c.cid) AS rn
+        FROM e a, c0 c) WHERE rn = 1
+    ),
+    dims AS (
+      SELECT a1.cid, t.d,
+             sum(CAST(floor(e.v[t.d] * {_Q_SCALE} + 0.5) AS BIGINT)) AS s
+      FROM a1 JOIN e ON a1.vec_id = e.vec_id
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS d) t
+      GROUP BY a1.cid, t.d
+    ),
+    learned AS (
+      SELECT cid, list(CAST(s AS DOUBLE) ORDER BY d) AS cv FROM dims GROUP BY cid
+    ),
+    c1 AS (
+      SELECT c0.cid,
+             coalesce(learned.cv,
+                      list_transform(c0.cv,
+                        x -> CAST(CAST(floor(x * {_Q_SCALE} + 0.5) AS BIGINT) AS DOUBLE))
+             ) AS cv
+      FROM c0 LEFT JOIN learned ON c0.cid = learned.cid
+    )
+    SELECT a.vec_id, c.cid AS centroid_id, {_CCOS_SQL} AS cos
+    FROM e a CROSS JOIN c1 c
+    QUALIFY row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY {_CCOS_SQL} DESC, c.cid) = 1
+    """,
+    doc=(
+        "training-data op: IVF with ONE deterministic Lloyd iteration — "
+        "seed centroids, argmax assignment, centroid update as "
+        "order-independent integer-quantized per-dimension sums (cosine "
+        "is scale-invariant, so the unnormalized sum IS the centroid), "
+        "reassignment against the learned centroids"
+    ),
+)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of IVF training, fully deterministic across
+    engines and partitionings.
+
+    The classical update (centroid = mean of members) is float-sum-order
+    dependent — a cross-engine and cross-partitioning hazard. Two
+    standard identities make it exact instead:
+
+    - cosine is scale-invariant, so the UNNORMALIZED member sum is an
+      equivalent centroid (no division, no count);
+    - summing integer-quantized components (``floor(x*2^20 + 0.5)`` as
+      int64) is associative/commutative EXACTLY, so any aggregation
+      order — Spark partial aggs, DuckDB single-threaded, AQE
+      re-plans — produces identical centroids (|sum| < 2^53 keeps the
+      final double cast exact).
+
+    Scale shape: assignment is the ann_ivf_probe skinny argmax; the
+    update explodes members to (cid, dim, q) rows that partial-aggregate
+    map-side down to K x 64 rows crossing the shuffle; empty clusters
+    keep their quantized seed. The final reassignment is one broadcast
+    crossJoin + the same map-side top-1 window."""
+    e = _vecs(spark, sf_dir)
+    qexpr = lambda col: F.floor(col * F.lit(_Q_SCALE) + F.lit(0.5)).cast("long")
+    c0 = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    ccos = F.round(cosine_sim(F.col("v"), F.col("cv")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cid")
+    a1 = (
+        e.crossJoin(F.broadcast(c0))
+        .select("vec_id", "cid", ccos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    # centroid update: explode to (cid, dim, quantized component); the
+    # int64 sums partial-aggregate map-side, K x 64 rows cross the wire
+    dims = (
+        a1.join(e, "vec_id")
+        .select("cid", F.posexplode("v").alias("d", "x"))
+        .select("cid", "d", qexpr(F.col("x")).alias("qx"))
+        .groupBy("cid", "d")
+        .agg(F.sum("qx").alias("s"))
+    )
+    learned = dims.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "s"))),
+            lambda p: p["s"].cast("double"),
+        ).alias("learned_cv")
+    )
+    c1 = F.broadcast(
+        c0.join(F.broadcast(learned), "cid", "left").select(
+            "cid",
+            F.coalesce(
+                F.col("learned_cv"),
+                F.transform(F.col("cv"), lambda x: qexpr(x).cast("double")),
+            ).alias("cv"),
+        )
+    )
+    return (
+        e.crossJoin(c1)
+        .select("vec_id", F.col("cid"), ccos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(w.orderBy(F.col("ccos").desc(), "cid")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").alias("centroid_id"),
+            F.col("ccos").alias("cos"),
+        )
+    )

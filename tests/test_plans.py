@@ -247,3 +247,17 @@ def test_bucketed_join_has_zero_exchange(spark, queries):
         assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ann_ivf_trained_update_partial_aggregates(spark, queries):
+    # the Lloyd-update explodes members to (cid, dim, qx) and must
+    # partial-aggregate map-side (two HashAggregate levels on cid+d)
+    # so only K x 64 sum rows cross the shuffle; no cartesian anywhere;
+    # the reassignment keeps the map-side top-1
+    plan = plan_of(queries["ann_ivf_trained"].fn(spark, SF0001))
+    assert "CartesianProduct" not in plan
+    aggs = [l for l in plan.splitlines()
+            if "HashAggregate" in l and "cid" in l and "d#" in l]
+    assert len(aggs) >= 2, plan
+    assert any("partial_sum" in l for l in aggs), aggs
+    assert "WindowGroupLimit" in plan and "Partial" in plan
