@@ -108,3 +108,26 @@ def test_incremental_readback_partition_prunes(spark, outdir):
     assert run2.processed_buckets == 8
     total = spark.read.parquet(f"{outdir}/data").count()
     assert total == pages.count()
+
+
+def test_cli_main_runs_and_resumes(spark, outdir, capsys):
+    """`python -m onnxocr_ray_spark` driver-entry contract (the
+    spark-submit job body): first invocation extracts and commits
+    lineage, second is a resume no-op."""
+    import json
+
+    from onnxocr_ray_spark.__main__ import main
+    from onnxocr_ray_spark.sources.pages import pages_from_documents
+
+    pages_dir = f"{outdir}/cli_pages"
+    pages_from_documents(spark, SF0001).write.mode("overwrite").parquet(pages_dir)
+    out_dir = f"{outdir}/cli_out"
+    assert main(["--input", pages_dir, "--output", out_dir,
+                 "--n-buckets", "16"]) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["processed_buckets"] == 16 and first["n_docs"] == 500
+    assert main(["--input", pages_dir, "--output", out_dir,
+                 "--n-buckets", "16"]) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["processed_buckets"] == 0
+    assert second["skipped_buckets"] == 16
