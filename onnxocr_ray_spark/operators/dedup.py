@@ -112,7 +112,7 @@ def _shingled_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _py_shingles(text: str) -> list:
-    """Bit-identical Python mirror of string_split(lower(trim(text)), ' ')
+    """Bit-identical Python mirror of string_split(lower(trim(text, ' ')), ' ')
     + word bigrams: trim is SPACE-only (Spark trim semantics), split keeps
     empty tokens."""
     words = (text or "").strip(" ").lower().split(" ")
@@ -200,10 +200,10 @@ def _signed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SH_SQL = """
       SELECT doc_id, lang, n_chars,
-             [array_to_string((string_split(lower(trim(text)), ' '))[i:i+1], ' ')
-              for i in range(1, len(string_split(lower(trim(text)), ' ')))] AS shingles
+             [array_to_string((string_split(lower(trim(text, ' ')), ' '))[i:i+1], ' ')
+              for i in range(1, len(string_split(lower(trim(text, ' ')), ' ')))] AS shingles
       FROM documents
-      WHERE len(string_split(lower(trim(text)), ' ')) >= 2
+      WHERE len(string_split(lower(trim(text, ' ')), ' ')) >= 2
 """
 
 _SIG_COLS_SQL = ", ".join(
@@ -337,7 +337,7 @@ _SIMHASH_SQL = f"""
     FROM (
       SELECT doc_id,
              list_transform(
-               list_distinct(list_filter(string_split(lower(trim(text)), ' '), w -> w <> '')),
+               list_distinct(list_filter(string_split(lower(trim(text, ' ')), ' '), w -> w <> '')),
                w -> md5(w)) AS hashes
       FROM documents
     )

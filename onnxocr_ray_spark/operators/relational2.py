@@ -165,10 +165,10 @@ def median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH sh AS (
       SELECT doc_id,
-             [array_to_string((string_split(lower(trim(text)), ' '))[i:i+1], ' ')
-              for i in range(1, len(string_split(lower(trim(text)), ' ')))] AS shingles
+             [array_to_string((string_split(lower(trim(text, ' ')), ' '))[i:i+1], ' ')
+              for i in range(1, len(string_split(lower(trim(text, ' ')), ' ')))] AS shingles
       FROM documents
-      WHERE len(string_split(lower(trim(text)), ' ')) >= 2
+      WHERE len(string_split(lower(trim(text, ' ')), ' ')) >= 2
     ),
     sigs AS (
       SELECT doc_id,

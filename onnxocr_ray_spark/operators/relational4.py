@@ -112,10 +112,10 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT doc_id, lang,
              min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+             CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+                  ELSE length(trim(text, ' ')) - length(replace(trim(text, ' '), ' ', '')) + 1
              END AS n_tokens,
-             round(least((length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+             round(least((length(trim(text, ' ')) - length(replace(trim(text, ' '), ' ', '')) + 1)
                          / 100.0, 1.0) * 0.5
                    + length(regexp_replace(text, '[^a-z]', '', 'g'))
                      / greatest(length(text), 1)::DOUBLE * 0.5, 6) AS quality

@@ -50,13 +50,13 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT doc_id, lang, quality, rank FROM (
       SELECT doc_id, lang,
-             round(least((length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+             round(least((length(trim(text, ' ')) - length(replace(trim(text, ' '), ' ', '')) + 1)
                          / 100.0, 1.0) * 0.5
                    + length(regexp_replace(text, '[^a-z]', '', 'g'))
                      / greatest(length(text), 1)::DOUBLE * 0.5, 6) AS quality,
              row_number() OVER (
                PARTITION BY lang
-               ORDER BY round(least((length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+               ORDER BY round(least((length(trim(text, ' ')) - length(replace(trim(text, ' '), ' ', '')) + 1)
                               / 100.0, 1.0) * 0.5
                         + length(regexp_replace(text, '[^a-z]', '', 'g'))
                           / greatest(length(text), 1)::DOUBLE * 0.5, 6) DESC,

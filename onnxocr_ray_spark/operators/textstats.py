@@ -36,8 +36,8 @@ def _padded(col):
     "text_tokens",
     sql="""
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+           CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+                ELSE length(trim(text, ' ')) - length(replace(trim(text, ' '), ' ', '')) + 1
            END AS n_tokens,
            length(text) AS n_chars_txt
     FROM documents
@@ -67,7 +67,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / greatest(length(text), 1)::DOUBLE, 6) AS alpha_ratio,
            round((length(text) - length(replace(text, ' ', '')))
                  / greatest(length(text), 1)::DOUBLE, 6) AS space_ratio,
-           round(least((length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+           round(least((length(trim(text, ' ')) - length(replace(trim(text, ' '), ' ', '')) + 1)
                        / 100.0, 1.0)
                  * 0.5
                  + length(regexp_replace(text, '[^a-z]', '', 'g'))
@@ -109,7 +109,7 @@ def _langid_scores_sql() -> str:
     "text_langid",
     sql=f"""
     WITH p AS (
-      SELECT doc_id, ' ' || lower(trim(text)) || ' ' AS p FROM documents
+      SELECT doc_id, ' ' || lower(trim(text, ' ')) || ' ' AS p FROM documents
     ), s AS (
       SELECT doc_id, {_langid_scores_sql()} FROM p
     )
@@ -154,8 +154,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority=5,
     sql="""
     SELECT doc_id,
-           substr(md5(lower(trim(text))), 1, 16) AS fp,
-           md5(lang || '|' || lower(trim(text))) AS fp_salted
+           substr(md5(lower(trim(text, ' '))), 1, 16) AS fp,
+           md5(lang || '|' || lower(trim(text, ' '))) AS fp_salted
     FROM documents
     """,
     doc="training-data op: document fingerprint via content hash (rolling-hash analog: dedup.py minhash sig0)",

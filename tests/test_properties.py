@@ -105,3 +105,28 @@ def test_scalar_simhash_matches_duckdb_on_arbitrary_text(texts):
     got = dict(con.sql(_SIMHASH_SQL).fetchall())
     for i, t in enumerate(texts):
         assert simhash_of(t) == got[i], (i, repr(t))
+
+
+@given(st.lists(text_st, min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_py_shingles_match_duckdb_on_arbitrary_text(texts):
+    """Same portability fuzz for the shingle kernel (_py_shingles vs the
+    _SH_SQL oracle CTE). Found in round 4: bare DuckDB trim() strips
+    unicode whitespace (NBSP etc.) while Spark trim / Python .strip(' ')
+    are ASCII-space-only — every oracle now pins trim(text, ' ')."""
+    import duckdb
+
+    from onnxocr_ray_spark.operators.dedup import _SH_SQL, _py_shingles
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents "
+        "(doc_id BIGINT, text VARCHAR, lang VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, 'en', 1)",
+        [(i, t) for i, t in enumerate(texts)],
+    )
+    sh = {r[0]: r[3] for r in con.sql(_SH_SQL).fetchall()}
+    for i, t in enumerate(texts):
+        assert _py_shingles(t) == sh.get(i, []), (i, repr(t))
