@@ -357,3 +357,52 @@ def test_dedup_stream_restarts_from_checkpoint(spark, tmpdir):
     assert len(got_b) == 10
     # canonical ids of the fresh docs are their own (min) doc_ids
     assert sorted(r.canonical_id for r in got_b) == [d for d, _, _ in rows[30:40]]
+
+
+def test_neardup_stream_restarts_from_checkpoint(spark, tmpdir):
+    """Array-typed LSH state must survive a checkpoint restart: exact
+    duplicates of pre-restart content arriving after a new query object
+    takes over the same checkpoint are still matched (hamming 0)."""
+    import duckdb
+
+    from onnxocr_ray_spark.streaming.pipeline import neardup_stream
+
+    docs_dir = f"{tmpdir}/nrdocs"
+    os.makedirs(docs_dir)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{SF0001}/documents.parquet' "
+        "WHERE doc_id < 20 ORDER BY doc_id"
+    ).fetchall()
+    rows = [(int(d), t, l) for d, t, l in rows]
+    schema = "doc_id long, text string, lang string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{docs_dir}/c0"
+    )
+    ckpt, sink = f"{tmpdir}/nrckpt", f"{tmpdir}/nrsink"
+
+    def run():
+        out = neardup_stream(spark, f"{docs_dir}/c*", max_files_per_trigger=1)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(sink).collect()
+
+    run()
+    # restart with exact copies of docs 0-9: every copy matches its
+    # original on ALL 4 bands at hamming 0, canonical = the original id
+    spark.createDataFrame(
+        [(9000 + i, t, l) for i, (_, t, l) in enumerate(rows[:10])], schema
+    ).coalesce(1).write.parquet(f"{docs_dir}/c1")
+    got = run()
+    post = [r for r in got if r.doc_id >= 9000]
+    assert {r.doc_id for r in post} == {9000 + i for i in range(10)}
+    for r in post:
+        assert r.hamming == 0
+        assert r.canonical_id == r.doc_id - 9000
+    assert len(post) == 40  # 4 band matches per duplicate
