@@ -171,7 +171,16 @@ def detect_regions(html: Optional[bytes], cfg: ExtractConfig) -> List[Region]:
     Returns [] for empty/undecodable payloads (no-regions early exit,
     `onnx_paddleocr.py:78-79`).
     """
-    src = decode_html(html)
+    return detect_regions_src(decode_html(html), cfg)
+
+
+def detect_regions_src(src: Optional[str], cfg: ExtractConfig) -> List[Region]:
+    """``detect_regions`` over an already-decoded source string.
+
+    The Arrow hot path (operators/extract.py) decodes html straight from
+    the Arrow buffer into ONE str — this entry point lets it skip the
+    intermediate ``bytes`` materialization ``decode_html`` would need.
+    """
     if src is None:
         return []
     blocks = tokenize_blocks(src)

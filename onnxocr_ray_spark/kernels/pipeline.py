@@ -17,7 +17,8 @@ from typing import List, Optional
 
 from onnxocr_ray_spark.config import ExtractConfig
 from onnxocr_ray_spark.kernels.classify import classify_angle, maybe_rotate
-from onnxocr_ray_spark.kernels.detect import Box, Region, detect_regions
+from onnxocr_ray_spark.kernels.detect import Box, Region, detect_regions_src
+from onnxocr_ray_spark.kernels.html import decode_html
 from onnxocr_ray_spark.kernels.recognize import pack_batches, recognize_span
 from onnxocr_ray_spark.kernels.sort import sorted_boxes
 
@@ -63,7 +64,13 @@ def _ratio(box: Box) -> float:
 
 def detect_sorted(html: Optional[bytes], cfg: ExtractConfig) -> List[Region]:
     """Detect stage output in reading order (detect + sorted_boxes)."""
-    regions = detect_regions(html, cfg)
+    return detect_sorted_src(decode_html(html), cfg)
+
+
+def detect_sorted_src(src: Optional[str], cfg: ExtractConfig) -> List[Region]:
+    """``detect_sorted`` over an already-decoded source string (the Arrow
+    hot path's entry — see kernels/detect.py:detect_regions_src)."""
+    regions = detect_regions_src(src, cfg)
     if not regions:
         return []
     return sorted_boxes(

@@ -39,14 +39,17 @@ from __future__ import annotations
 
 from typing import Iterator, List, Optional
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from onnxocr_ray_spark.config import DEFAULT_CONFIG, ExtractConfig
 from onnxocr_ray_spark.kernels.classify import classify_angle, maybe_rotate
-from onnxocr_ray_spark.kernels.pipeline import detect_sorted
+from onnxocr_ray_spark.kernels.html import decode_html
+from onnxocr_ray_spark.kernels.pipeline import detect_sorted_src
 from onnxocr_ray_spark.kernels.recognize import pack_batches, recognize_span
 
 BOX_T = T.ArrayType(T.ArrayType(T.DoubleType()))
@@ -92,7 +95,14 @@ REC_DOC_SCHEMA = T.StructType(
 
 def _detect_doc(html: Optional[bytes], cfg: ExtractConfig) -> List[dict]:
     """One document's detect output: sorted regions + precomputed packing."""
-    regions = detect_sorted(html, cfg)
+    return _detect_doc_src(decode_html(html), cfg)
+
+
+def _detect_doc_src(src: Optional[str], cfg: ExtractConfig) -> List[dict]:
+    """``_detect_doc`` over an already-decoded source string — the Arrow
+    hot path decodes straight from the Arrow buffer (one str, no
+    intermediate per-row ``bytes``) and enters here."""
+    regions = detect_sorted_src(src, cfg)
     if not regions:
         return []
     ratios = []
@@ -135,6 +145,75 @@ def _chunk_frames(pdf: pd.DataFrame, sizes: pd.Series, budget: int) -> Iterator[
             acc = 0
     if start < len(pdf):
         yield pdf.iloc[start:]
+
+
+# --- Arrow hot-path plumbing (mapInArrow) ---------------------------------
+#
+# The fused/routed kernels are the 100-TB hot path, and at high
+# parallelism the binding resource is MEMORY BANDWIDTH, not CPU (the
+# pinned scaling series shows the per-core rate at 8 cores capped well
+# below the bare-kernel rate while 2 cores run at the kernel floor —
+# BENCH/BASELINE.md §2). mapInPandas moved every html payload THREE
+# times on the Python side: Arrow buffer -> per-row ``bytes`` object
+# (arrow->pandas), ``bytes`` -> decoded ``str`` (decode_html), plus the
+# pandas block assembly around it. mapInArrow removes the per-row bytes
+# materialization entirely: html is decoded str(memoryview, 'utf-8')
+# DIRECTLY from the Arrow data buffer slice, urls are re-emitted as
+# zero-copy Arrow slices, and only the span output is newly allocated.
+
+
+def _binary_view(arr: "pa.Array"):
+    """(int64 offsets [len+1], memoryview of the data buffer, null mask or
+    None) for a (large_)binary/string Arrow array, honoring the array's
+    slice offset — zero-copy except the offsets dtype widening."""
+    big = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64 if big else np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64, copy=False)
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    nulls = (
+        arr.is_null().to_numpy(zero_copy_only=False) if arr.null_count else None
+    )
+    return offs, mv, nulls
+
+
+def _decode_mv(mv: memoryview, o0: int, o1: int) -> Optional[str]:
+    """Strict utf-8 decode of one html payload straight from the Arrow
+    buffer; None for empty/undecodable (decode_html semantics,
+    kernels/html.py — pinned equal by tests/test_extract_arrow.py)."""
+    if o1 <= o0:
+        return None
+    try:
+        return str(mv[o0:o1], "utf-8")
+    except UnicodeDecodeError:
+        return None
+
+
+def _chunk_bounds(sizes: np.ndarray, budget: int) -> Iterator[tuple]:
+    """_chunk_frames boundaries as (lo, hi) index ranges over payload
+    sizes (identical cut points; sizes come free from the Arrow offsets)."""
+    n = len(sizes)
+    acc = 0
+    start = 0
+    for i in range(n):
+        acc += int(sizes[i])
+        if acc >= budget and i + 1 > start:
+            yield start, i + 1
+            start = i + 1
+            acc = 0
+    if start < n:
+        yield start, n
+
+
+def _arrow_out_schema(spark_schema: T.StructType) -> "pa.Schema":
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+def _arrow_col(rb: "pa.RecordBatch", name: str) -> "pa.Array":
+    return rb.column(rb.schema.get_field_index(name))
 
 
 def detect(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -361,20 +440,38 @@ def extract_fused(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> Data
     kernels are microseconds, so separate Python stages would pay 3x
     Arrow serialization of the nested span structs for no parallelism
     gain. Output schema = (url, spans: array<REC_SPAN_T>).
+
+    mapInArrow, not mapInPandas: html payloads decode straight from the
+    Arrow buffer (no per-row bytes objects, no pandas block assembly) and
+    urls pass through as zero-copy slices — see the Arrow hot-path note
+    above _binary_view. At high parallelism this stage is memory-bandwidth
+    bound, so bytes-not-moved is wall-clock.
     """
+    out_schema = _arrow_out_schema(REC_DOC_SCHEMA)
+    spans_t = out_schema.field("spans").type
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sizes = pdf["html"].map(lambda h: len(h) if h is not None else 0)
-            for chunk in _chunk_frames(pdf, sizes, cfg.coalesce_target_bytes):
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            url = _arrow_col(rb, "url")
+            offs, mv, nulls = _binary_view(_arrow_col(rb, "html"))
+            sizes = np.diff(offs)
+            for lo, hi in _chunk_bounds(sizes, cfg.coalesce_target_bytes):
                 out_spans = []
-                for h in chunk["html"]:
-                    spans = _detect_doc(bytes(h) if h is not None else None, cfg)
-                    doc = _rec_doc(spans, cfg)
-                    out_spans.append(doc)
-                yield pd.DataFrame({"url": chunk["url"].values, "spans": out_spans})
+                for i in range(lo, hi):
+                    if nulls is not None and nulls[i]:
+                        src = None
+                    else:
+                        src = _decode_mv(mv, offs[i], offs[i + 1])
+                    out_spans.append(_rec_doc(_detect_doc_src(src, cfg), cfg))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        url.slice(lo, hi - lo),
+                        pa.array(out_spans, type=spans_t),
+                    ],
+                    schema=out_schema,
+                )
 
-    return pages.select("url", "html").mapInPandas(gen, schema=REC_DOC_SCHEMA)
+    return pages.select("url", "html").mapInArrow(gen, schema=REC_DOC_SCHEMA)
 
 
 ROUTED_SCHEMA = T.StructType(
@@ -386,28 +483,57 @@ ROUTED_SCHEMA = T.StructType(
     ]
 )
 
-# spill dir of the previous extract() call's routed pass — removed on the
-# next call (and at interpreter exit) so repeated invocations (streaming
-# epochs, bench loops) never accumulate spilled output
+# Spill dirs of recent extract() calls' routed passes. Deletion is
+# DEFERRED: a prior extract() result is a lazy DataFrame over its spill,
+# so deleting it at the next call would invalidate a still-referenced
+# plan (ADVICE r4). We keep the _SPILL_KEEP most recent dirs (older ones
+# are presumed consumed — streaming epochs and bench loops execute each
+# result before building the next) and remove everything at interpreter
+# exit.
 _PREV_SPILL_DIRS: List[str] = []
+_SPILL_KEEP = 4
 
 
-def _cleanup_spill_dirs() -> None:
+def _cleanup_spill_dirs(keep: int = 0) -> None:
     import shutil
 
-    while _PREV_SPILL_DIRS:
-        shutil.rmtree(_PREV_SPILL_DIRS.pop(), ignore_errors=True)
+    while len(_PREV_SPILL_DIRS) > keep:
+        shutil.rmtree(_PREV_SPILL_DIRS.pop(0), ignore_errors=True)
 
 
-def _new_spill_dir() -> str:
+def _spill_root(spark) -> Optional[str]:
+    """Where the routed pass may spill, or None when it must persist().
+
+    The spill is written by EXECUTORS and re-read by executors, so the
+    location must be visible to all of them:
+
+    - ``spark.onnxocr_ray_spark.scratch_dir`` (session conf), when set —
+      a shared filesystem path (e.g. under the job output root) for
+      multi-node clusters;
+    - the driver tempdir on ``local[*]`` masters, where driver and
+      executors share one machine;
+    - otherwise None: a non-local master with no shared scratch
+      configured falls back to the cluster-safe persist() strategy.
+    """
+    conf_dir = spark.conf.get("spark.onnxocr_ray_spark.scratch_dir", "")
+    if conf_dir:
+        return conf_dir
+    if spark.conf.get("spark.master", "").startswith("local"):
+        import tempfile
+
+        return tempfile.gettempdir()
+    return None
+
+
+def _new_spill_dir(root: str) -> str:
     import atexit
-    import tempfile
+    import uuid
 
     if not _PREV_SPILL_DIRS:
         atexit.register(_cleanup_spill_dirs)
     else:
-        _cleanup_spill_dirs()
-    d = tempfile.mkdtemp(prefix="onnxocr_routed_spill_")
+        _cleanup_spill_dirs(keep=_SPILL_KEEP - 1)
+    d = f"{root.rstrip('/')}/onnxocr_routed_spill_{uuid.uuid4().hex}"
     _PREV_SPILL_DIRS.append(d)
     return d
 
@@ -423,35 +549,49 @@ def extract_routed(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     probe, which could not short-circuit when NO straggler existed and so
     re-read every partition's html column (a full extra pass over the
     fattest column at 100 TB) just to elide ~1 s of empty-branch overhead.
-    """
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sizes = pdf["html"].map(lambda h: len(h) if h is not None else 0)
-            for chunk in _chunk_frames(pdf, sizes, cfg.coalesce_target_bytes):
+    mapInArrow for the same bandwidth reason as extract_fused: the big/
+    small decision needs only the Arrow offsets (payload byte size), and
+    the payload decodes once, straight from the buffer.
+    """
+    out_schema = _arrow_out_schema(ROUTED_SCHEMA)
+    rec_t = out_schema.field("spans").type
+    det_t = out_schema.field("det_spans").type
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            url = _arrow_col(rb, "url")
+            offs, mv, nulls = _binary_view(_arrow_col(rb, "html"))
+            sizes = np.diff(offs)
+            for lo, hi in _chunk_bounds(sizes, cfg.coalesce_target_bytes):
                 rec_out, det_out, big_out = [], [], []
-                for h in chunk["html"]:
-                    data = bytes(h) if h is not None else None
-                    if data is not None and len(data) > straggler_html_bytes:
-                        det_out.append(_detect_doc(data, cfg))
+                for i in range(lo, hi):
+                    if nulls is not None and nulls[i]:
+                        src = None
+                    else:
+                        src = _decode_mv(mv, offs[i], offs[i + 1])
+                    # routing key = raw payload BYTE size (as with the
+                    # pandas form: len(data)), independent of decodability
+                    is_null = nulls is not None and nulls[i]
+                    if not is_null and int(sizes[i]) > straggler_html_bytes:
+                        det_out.append(_detect_doc_src(src, cfg))
                         rec_out.append(None)
                         big_out.append(True)
                         continue
-                    spans = _detect_doc(data, cfg)
-                    doc = _rec_doc(spans, cfg)
-                    rec_out.append(doc)
+                    rec_out.append(_rec_doc(_detect_doc_src(src, cfg), cfg))
                     det_out.append(None)
                     big_out.append(False)
-                yield pd.DataFrame(
-                    {
-                        "url": chunk["url"].values,
-                        "spans": rec_out,
-                        "det_spans": det_out,
-                        "is_big": big_out,
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        url.slice(lo, hi - lo),
+                        pa.array(rec_out, type=rec_t),
+                        pa.array(det_out, type=det_t),
+                        pa.array(big_out, type=pa.bool_()),
+                    ],
+                    schema=out_schema,
                 )
 
-    return pages.select("url", "html").mapInPandas(gen, schema=ROUTED_SCHEMA)
+    return pages.select("url", "html").mapInArrow(gen, schema=ROUTED_SCHEMA)
 
 
 SIZE_COL = "html_size"
@@ -480,11 +620,13 @@ def extract(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
        Rows whose size stat is NULL take the per-row routed leg, so a
        huge doc with a missing ingest stat keeps straggler protection.
     2. **Exact-shape tables** (no size column): single-pass per-row
-       routing — ``extract_routed`` decides inside the fused kernel,
-       the OUTPUT-SIZED result is persisted (MEMORY_AND_DISK) and
-       eagerly materialized once, and both branch consumers read the
-       cache. The html column is still read exactly once, but the
-       cache footprint is why sized tables are preferred at 100 TB.
+       routing — ``extract_routed`` decides inside the fused kernel, the
+       OUTPUT-SIZED result is spilled once to temp parquet on a shared
+       scratch location (or persisted MEMORY_AND_DISK on non-local
+       masters with no shared scratch configured — see _spill_root), and
+       both branch consumers scan that materialization. The html column
+       is still read exactly once, but the spill footprint is why sized
+       tables are preferred at 100 TB.
 
     Straggler spans explode across the cluster so one giant page cannot
     straggle a task. All paths run identical kernels with identical
@@ -526,15 +668,25 @@ def _routed_spans(pages: DataFrame, cfg: ExtractConfig,
     #    twice: local[8] ran 200k docs at 6.6k docs/s vs 9.6k at half
     #    the corpus);
     #  - at 100 TB an output-sized MEMORY_AND_DISK cache of a schema-less
-    #    input would evict real working set; parquet on the shuffle-local
-    #    disks is bounded and the is_big branch filters push down to the
-    #    rescan. Sized tables (an html_size ingest stat) remain the
-    #    production default and need neither cache nor spill.
-    spill_dir = _new_spill_dir()
-    extract_routed(pages, cfg, straggler_html_bytes).write.parquet(
-        spill_dir, mode="overwrite"
-    )
-    routed = pages.sparkSession.read.parquet(spill_dir)
+    #    input would evict real working set; parquet on a scratch dir is
+    #    bounded and the is_big branch filters push down to the rescan.
+    #    Sized tables (an html_size ingest stat) remain the production
+    #    default and need neither cache nor spill.
+    # The spill location must be shared between executors (_spill_root);
+    # a non-local master without a configured shared scratch dir gets the
+    # cluster-safe persist() + eager count() instead.
+    spark = pages.sparkSession
+    routed_src = extract_routed(pages, cfg, straggler_html_bytes)
+    root = _spill_root(spark)
+    if root is None:
+        from pyspark import StorageLevel
+
+        routed = routed_src.persist(StorageLevel.MEMORY_AND_DISK)
+        routed.count()  # eager: kills the sibling-branch recompute race
+    else:
+        spill_dir = _new_spill_dir(root)
+        routed_src.write.parquet(spill_dir, mode="overwrite")
+        routed = spark.read.parquet(spill_dir)
 
     rec_small = routed.filter(~F.col("is_big")).select("url", "spans")
     # The straggler branch handles the heavy TAIL — few documents by
