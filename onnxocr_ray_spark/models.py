@@ -34,15 +34,21 @@ except ImportError:
 _SESSION_CACHE: Dict[str, object] = {}
 
 
-def get_session(model_path: str):  # pragma: no cover - needs onnxruntime
-    """Lazily build and cache one ORT session per worker per model path."""
-    if not HAVE_ORT:
-        raise NotImplementedError(
-            "onnxruntime is not available in this container; stages run the "
-            "deterministic stand-in scorers (see StandinClassifier etc.)"
-        )
+def get_session(model_path: str):
+    """Lazily build and cache one model session per worker per model path.
+
+    Backend choice: onnxruntime when installed (the production path, with
+    the reference's determinism pins); otherwise, when ``model_path``
+    names an actually-readable .onnx file, the pure-numpy graph evaluator
+    (``onnx_numpy.NumpyOnnxSession``) — which is how the reference's REAL
+    cls.onnx weights (`onnxocr/models/*/cls/cls.onnx`, the only model
+    blobs the snapshot ships) execute in this container where
+    onnxruntime cannot be installed. A missing file without onnxruntime
+    keeps the historical NotImplementedError."""
     sess = _SESSION_CACHE.get(model_path)
-    if sess is None:
+    if sess is not None:
+        return sess
+    if HAVE_ORT:  # pragma: no cover - needs onnxruntime
         opts = ort.SessionOptions()
         opts.intra_op_num_threads = 1  # Spark tasks own the cores
         opts.graph_optimization_level = ort.GraphOptimizationLevel.ORT_ENABLE_BASIC
@@ -51,7 +57,19 @@ def get_session(model_path: str):  # pragma: no cover - needs onnxruntime
         sess = ort.InferenceSession(
             model_path, sess_options=opts, providers=["CPUExecutionProvider"]
         )
-        _SESSION_CACHE[model_path] = sess
+    else:
+        import os
+
+        if not os.path.isfile(model_path):
+            raise NotImplementedError(
+                "onnxruntime is not available in this container and "
+                f"{model_path!r} is not a readable model file; stages run "
+                "the deterministic stand-in scorers (see StandinClassifier)"
+            )
+        from onnxocr_ray_spark.onnx_numpy import NumpyOnnxSession
+
+        sess = NumpyOnnxSession(model_path)
+    _SESSION_CACHE[model_path] = sess
     return sess
 
 
@@ -194,14 +212,19 @@ def classifier_provider(model_path: Optional[str] = None) -> Callable:
     config swap (cls_model_path/rec_model_path/rec_charset), parity
     tested end-to-end in ``tests/test_provider_pipeline.py``.
     ``tests/test_models_qa.py`` pins both contracts with synthetic
-    rasters."""
+    rasters. Without onnxruntime, a model path naming a real readable
+    .onnx file runs through the numpy evaluator (see get_session) —
+    that's how the reference's shipped cls weights execute here."""
     if model_path is not None:
-        if not HAVE_ORT:
+        import os
+
+        if not HAVE_ORT and not os.path.isfile(model_path):
             raise RuntimeError(
                 f"model path {model_path!r} configured but onnxruntime is "
-                "not installed on this worker"
+                "not installed on this worker and the path is not a "
+                "readable model file"
             )
-        return OrtClassifier(model_path)  # pragma: no cover - needs ORT
+        return OrtClassifier(model_path)
     return StandinClassifier()
 
 
@@ -210,10 +233,13 @@ def recognizer_provider(model_path: Optional[str] = None,
     """See classifier_provider for the call-contract note. ``charset``
     is REQUIRED when ``model_path`` is set (ValueError otherwise)."""
     if model_path is not None:
-        if not HAVE_ORT:
+        import os
+
+        if not HAVE_ORT and not os.path.isfile(model_path):
             raise RuntimeError(
                 f"model path {model_path!r} configured but onnxruntime is "
-                "not installed on this worker"
+                "not installed on this worker and the path is not a "
+                "readable model file"
             )
         if not charset:
             raise ValueError(
@@ -221,7 +247,7 @@ def recognizer_provider(model_path: Optional[str] = None,
                 "pass the model's decode dictionary (the reference's "
                 "rec_char_dict_path contents)"
             )
-        return OrtRecognizer(model_path, charset)  # pragma: no cover
+        return OrtRecognizer(model_path, charset)
     return StandinRecognizer()
 
 

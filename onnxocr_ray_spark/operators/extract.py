@@ -274,27 +274,43 @@ def _process_doc_spans(raws: List[str], rec_widths: List[int], cfg: ExtractConfi
         return [
             _process_span(r, int(w), cfg) for r, w in zip(raws, rec_widths)
         ]
-    from onnxocr_ray_spark.rasterize import render_crop
+    from onnxocr_ray_spark.rasterize import cls_capacity_ok, render_crop
 
-    clf, rec = stage_providers(cfg)
+    # Spans whose payload exceeds the FIXED classifier crop capacity
+    # (~9 KB; plausible for minified HTML blocks) cannot be rendered
+    # losslessly for the cls model — route them through the stand-in
+    # kernels instead of raising inside the batch and failing the whole
+    # task (ADVICE r4). Capacity only binds when the cls stage renders.
+    n = len(raws)
+    widths = [int(w) for w in rec_widths]
+    out: List[Optional[tuple]] = [None] * n
     if cfg.use_angle_cls:
-        cls_out = clf(
-            [render_crop(r, int(w), "cls") for r, w in zip(raws, rec_widths)]
-        )
+        prov_idx = [i for i in range(n) if cls_capacity_ok(raws[i])]
+        for i in set(range(n)) - set(prov_idx):
+            out[i] = _process_span(raws[i], widths[i], cfg)
     else:
-        cls_out = [("0", 1.0)] * len(raws)
-    rotated = [
-        maybe_rotate(r, label, conf, cfg.cls_thresh)
-        for r, (label, conf) in zip(raws, cls_out)
-    ]
-    rec_out = rec(
-        [render_crop(r, int(w), "rec") for r, w in zip(rotated, rec_widths)],
-        rec_widths=[int(w) for w in rec_widths],
-    )
-    return [
-        (label, conf, text, score)
-        for (label, conf), (text, score) in zip(cls_out, rec_out)
-    ]
+        prov_idx = list(range(n))
+    if prov_idx:
+        praws = [raws[i] for i in prov_idx]
+        pwid = [widths[i] for i in prov_idx]
+        clf, rec = stage_providers(cfg)
+        if cfg.use_angle_cls:
+            cls_out = clf(
+                [render_crop(r, w, "cls") for r, w in zip(praws, pwid)]
+            )
+        else:
+            cls_out = [("0", 1.0)] * len(praws)
+        rotated = [
+            maybe_rotate(r, label, conf, cfg.cls_thresh)
+            for r, (label, conf) in zip(praws, cls_out)
+        ]
+        rec_out = rec(
+            [render_crop(r, w, "rec") for r, w in zip(rotated, pwid)],
+            rec_widths=pwid,
+        )
+        for i, (label, conf), (text, score) in zip(prov_idx, cls_out, rec_out):
+            out[i] = (label, conf, text, score)
+    return out
 
 
 def _rec_doc(spans, cfg: ExtractConfig) -> List[dict]:

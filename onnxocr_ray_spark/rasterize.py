@@ -54,6 +54,15 @@ def _payload(raw: str, rec_width: int) -> bytes:
     )
 
 
+def cls_capacity_ok(raw: str) -> bool:
+    """True iff a span's payload fits the FIXED classifier crop
+    (48x192 bytes incl. header). Spans beyond this cannot be rendered
+    losslessly for the cls stage; the pipeline routes them through the
+    stand-in kernels instead of raising inside the batch
+    (operators/extract.py:_process_doc_spans)."""
+    return _HEADER + len(raw.encode("utf-8")) <= CLS_H * CLS_W
+
+
 def render_crop(raw: str, rec_width: int, kind: str) -> np.ndarray:
     """Span payload -> HxWx3 uint8 crop for the ``kind`` model stage.
 
