@@ -47,7 +47,7 @@ _B2_HEX = ["2", "3", "6", "7", "a", "b", "e", "f"]
 
 @register(
     "dedup_exact",
-    priority=85,  # rotation: green r1-r3, parked this round (rotate back next)
+    priority=15,  # rotation r5: no driver row since r2/r3 - back into the checked window
     sql="""
     SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
     FROM documents GROUP BY md5(text)
@@ -68,7 +68,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact_keep",
-    priority=85,  # rotation: green r1-r3, parked this round (rotate back next)
+    priority=15,  # rotation r5: no driver row since r2/r3 - back into the checked window
     sql="""
     SELECT doc_id FROM (
       SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper

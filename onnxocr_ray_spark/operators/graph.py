@@ -56,6 +56,7 @@ _EDGE_SQL = """
 
 @register(
     "dedup_cc_canonical",
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql=f"""
     WITH RECURSIVE sh AS (
       SELECT doc_id,
@@ -154,6 +155,7 @@ def min_label_propagate(nodes: DataFrame, pairs: DataFrame,
 
 @register(
     "sketch_kmv_distinct",
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql="""
     WITH hashed AS (
       SELECT DISTINCT md5(cast(user_id AS VARCHAR)) AS h FROM events

@@ -33,7 +33,7 @@ except ImportError:
 
 @register(
     "mm_payload_meta",
-    priority=85,  # rotation: green r1-r3, parked this round (rotate back next)
+    priority=15,  # rotation r5: no driver row since r2/r3 - back into the checked window
     sql="""
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
@@ -149,6 +149,7 @@ _PPM_SQL = ", ".join(
 
 @register(
     "mm_decode_features",
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql=f"""
     WITH nib AS (
       SELECT doc_id,
@@ -234,7 +235,7 @@ def mm_resize(pages_like: DataFrame, target: int = 960, payload_col: str = "payl
 
 @register(
     "mm_resize_meta",
-    priority=85,  # rotation: green r1-r3, parked this round (rotate back next)
+    priority=15,  # rotation r5: no driver row since r2/r3 - back into the checked window
     sql="""
     WITH geo AS (
       SELECT doc_id,
@@ -286,6 +287,7 @@ def mm_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql="""
     SELECT doc_id, frame_idx,
            md5(text || ':' || frame_idx) AS frame_key

@@ -43,7 +43,7 @@ def flt_dropscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lim_candidates",
-    priority=85,  # rotation: green r1-r3, parked this round (rotate back next)
+    priority=15,  # rotation r5: no driver row since r2/r3 - back into the checked window
     sql="""
     SELECT doc_id, lang, rn FROM (
       SELECT doc_id, lang,
@@ -219,7 +219,7 @@ def agg_meanconf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "binarize_clip",
-    priority=85,  # rotation: green r1-r3, parked this round (rotate back next)
+    priority=15,  # rotation r5: no driver row since r2/r3 - back into the checked window
     sql="""
     SELECT event_id, (value > 0.3) AS seg,
            round(least(greatest(value, 0.0), 1.0), 6) AS clipped
@@ -242,7 +242,7 @@ def binarize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "proj_keepkeys",
-    priority=85,  # rotation: green r1-r3, parked this round (rotate back next)
+    priority=15,  # rotation r5: no driver row since r2/r3 - back into the checked window
     sql="SELECT p_partkey, p_name, p_size FROM part WHERE p_size >= 10",
     doc="proj_keepkeys: ordered-projection with pushdown filter (KeepKeys)",
 )

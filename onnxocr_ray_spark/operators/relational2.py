@@ -77,7 +77,7 @@ def asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pivot_event_counts",
-    priority=80,
+    priority=15,  # rotation r5: no driver row since r2/r3 - back into the checked window
     sql="""
     SELECT user_id,
            count(*) FILTER (WHERE event_type = 'click') AS n_click,
@@ -112,7 +112,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "running_total",
-    priority=15,
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql="""
     SELECT user_id, event_id,
            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -139,7 +139,7 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "median_by_type",
-    priority=15,
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql="""
     SELECT event_type,
            round(quantile_cont(value, 0.5), 6) AS median_value,

@@ -16,7 +16,7 @@ from onnxocr_ray_spark.sources.tables import load_table, register_views
 
 @register(
     "q5_region_revenue",
-    priority=15,
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql="""
     SELECT n.n_name AS nation,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
@@ -56,7 +56,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cube_events",
-    priority=15,
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql="""
     SELECT event_type, cast(user_id % 5 AS BIGINT) AS user_band,
            count(*) AS n, round(sum(value), 4) AS total
@@ -77,7 +77,7 @@ def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_props",
-    priority=15,
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql="""
     SELECT event_type,
            round(avg(cast(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
@@ -99,7 +99,7 @@ def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "setops_active_buyers",
-    priority=15,
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql="""
     SELECT user_id FROM events WHERE event_type = 'purchase'
     INTERSECT
@@ -123,7 +123,7 @@ def setops_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_api_q6",
-    priority=15,
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql="""
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
            count(*) AS n

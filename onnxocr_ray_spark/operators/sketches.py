@@ -30,7 +30,7 @@ N_BINS = 256
 
 @register(
     "grouping_sets_events",
-    priority=10,
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql="""
     SELECT coalesce(event_type, 'ALL') AS etype,
            coalesce(extract(hour FROM ts), -1) AS hour_of_day,
@@ -101,7 +101,7 @@ _QH_SQL = f"""
 
 @register(
     "quantile_hist_det",
-    priority=10,
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql=_QH_SQL,
     doc=(
         "training-data op: deterministic two-pass histogram quantile "

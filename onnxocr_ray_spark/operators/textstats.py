@@ -34,6 +34,7 @@ def _padded(col):
 
 @register(
     "text_tokens",
+    priority=15,  # rotation r5: no driver row since r2/r3 - back into the checked window
     sql="""
     SELECT doc_id,
            CASE WHEN length(trim(text, ' ')) = 0 THEN 0
@@ -61,6 +62,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality",
+    priority=15,  # rotation r5: no driver row since r2/r3 - back into the checked window
     sql="""
     SELECT doc_id,
            round(length(regexp_replace(text, '[^a-z]', '', 'g'))
@@ -107,6 +109,7 @@ def _langid_scores_sql() -> str:
 
 @register(
     "text_langid",
+    priority=15,  # rotation r5: no driver row since r2/r3 - back into the checked window
     sql=f"""
     WITH p AS (
       SELECT doc_id, ' ' || lower(trim(text, ' ')) || ' ' AS p FROM documents
@@ -151,7 +154,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_fingerprint",
-    priority=5,
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql="""
     SELECT doc_id,
            substr(md5(lower(trim(text, ' '))), 1, 16) AS fp,
@@ -174,7 +177,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_stats_by_lang",
-    priority=5,
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
     sql="""
     SELECT lang, count(*) AS n_docs,
            round(avg(n_chars), 4) AS avg_chars,

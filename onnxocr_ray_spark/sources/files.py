@@ -57,7 +57,7 @@ def _register_b64_query():
 
     @register(
         "src_base64_roundtrip",
-        priority=0,
+    priority=85,  # rotation r5: green r4 (and prior rounds), parked; rotate back next
         sql="""
         SELECT doc_id,
                base64(encode(text)) AS b64,

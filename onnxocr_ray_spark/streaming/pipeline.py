@@ -266,6 +266,26 @@ def dedup_stream(
     )
 
 
+def _popcount64(x):
+    """Vectorized SWAR popcount over a uint64 ndarray (numpy<2 has no
+    bitwise_count)."""
+    import numpy as np
+
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def simhash_int64(sig: str) -> int:
+    """64-char '0'/'1' SimHash string -> signed int64 carrying the same
+    bit pattern (char 0 = most significant bit)."""
+    v = int(sig, 2)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def neardup_stream(
     spark: SparkSession,
     docs_dir: str,
@@ -277,27 +297,39 @@ def neardup_stream(
 
     Each arriving document is signed with the shared 64-bit SimHash
     kernel (``simhash_of`` — bit-identical to the batch vectorized path
-    and the DuckDB oracle), exploded into 4 x 16-bit band rows, and run
-    through ``applyInPandasWithState`` keyed by ``(band_idx, band_key)``.
-    Per bucket the state is the inverted-index shard: every (doc_id,
-    signature) ever seen in the bucket. A new document emits one match
-    row per band whose bucket already holds a signature within
-    Hamming<=3 (exact popcount verify, same rule as the batch query);
-    ``canonical_id`` is the smallest matching earlier doc_id. Banding is
+    and the DuckDB oracle), packed into one int64, exploded into 4 x
+    16-bit band rows (bit-shift band keys), and run through
+    ``applyInPandasWithState`` keyed by ``(band_idx, band_key)``. Per
+    bucket the state is the inverted-index shard: every (doc_id,
+    signature) ever seen in the bucket, as two ``array<long>`` columns —
+    8 bytes per signature, not a 64-char string. A new document emits
+    one match row per band whose bucket already holds a signature within
+    Hamming<=3; the verify is a VECTORIZED numpy XOR + SWAR popcount
+    over the whole bucket (so a skewed bucket — e.g. a boilerplate
+    template emitting thousands of near-identical pages into one band
+    key — costs one vector op per arriving doc, not an interpreted
+    per-character scan; the skew stress test pins this). ``canonical_id``
+    is the smallest matching earlier doc_id. Banding is
     pigeonhole-complete at Hamming<=3, so a downstream per-doc min over
     the match rows reproduces EXACTLY the batch pair set restricted to
     (earlier, later) — the consistency property the tests pin.
 
-    Ordering semantics: documents in earlier micro-batches are "earlier";
-    within one micro-batch a bucket's rows are processed in doc_id order
-    (so the smaller doc_id is canonical, matching the batch
-    ``a.doc_id < b.doc_id`` convention).
+    Ordering semantics — PRECONDITION: "earlier" means ARRIVAL order
+    (micro-batch order, then doc_id within a batch), not global doc_id
+    order. The equivalence with the batch ``a.doc_id < b.doc_id``
+    convention therefore holds exactly when files arrive in doc_id order
+    (an ingest that names files monotonically — the normal log-shipping
+    layout). A late-arriving document with a SMALLER doc_id than an
+    already-seen match yields ``canonical_id > doc_id``; order-
+    insensitive consumers should normalize emitted pairs to
+    (min, max).
 
     At 10^12 docs the state is the full signature table sharded by band
-    key — 4 rows x ~16 bytes per doc, hash-partitioned exactly like the
+    key — 4 rows x 16 bytes per doc, hash-partitioned exactly like the
     batch banded join's shuffle; use the RocksDB state-store conf
     documented on ``dedup_stream`` for that footprint.
     """
+    import numpy as np
     import pandas as pd
 
     from onnxocr_ray_spark.operators.dedup import (
@@ -311,29 +343,43 @@ def neardup_stream(
     out_schema = (
         "doc_id long, band_idx int, canonical_id long, hamming int"
     )
-    # inverted-index shard: parallel arrays of signatures + doc ids
-    state_schema = "sigs array<string>, ids array<long>"
+    # inverted-index shard: parallel arrays of int64 signatures + doc ids
+    state_schema = "sigs array<long>, ids array<long>"
 
     def fn(key, pdfs, state):
         sigs, ids = state.get if state.exists else ([], [])
-        sigs, ids = list(sigs), list(ids)
         rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        new_sigs = rows["sig"].to_numpy(dtype=np.int64)
+        new_ids = rows["doc_id"].to_numpy(dtype=np.int64)
+        n0 = len(sigs)
+        # one pre-sized arena: state + this batch appended in arrival
+        # order, so within-batch earlier docs are visible to later ones
+        arena = np.empty(n0 + len(new_sigs), dtype=np.int64)
+        arena_ids = np.empty_like(arena)
+        if n0:
+            arena[:n0] = sigs
+            arena_ids[:n0] = ids
         out_doc, out_band, out_canon, out_ham = [], [], [], []
         band_idx = int(key[0])
-        for doc_id, sig in zip(rows["doc_id"], rows["sig"]):
-            best_id, best_ham = None, None
-            for s, i in zip(sigs, ids):
-                d = sum(a != b for a, b in zip(s, sig))
-                if d <= SIMHASH_HAMMING_K and (best_id is None or i < best_id):
-                    best_id, best_ham = i, d
-            if best_id is not None:
-                out_doc.append(int(doc_id))
-                out_band.append(band_idx)
-                out_canon.append(int(best_id))
-                out_ham.append(int(best_ham))
-            sigs.append(sig)
-            ids.append(int(doc_id))
-        state.update((sigs, ids))
+        k = n0
+        kmax = np.int64(SIMHASH_HAMMING_K)
+        for sig, did in zip(new_sigs, new_ids):
+            if k:
+                ham = _popcount64((arena[:k] ^ sig).view(np.uint64)).view(
+                    np.int64
+                )
+                m = ham <= kmax
+                if m.any():
+                    cand_ids = arena_ids[:k][m]
+                    j = int(cand_ids.argmin())
+                    out_doc.append(int(did))
+                    out_band.append(band_idx)
+                    out_canon.append(int(cand_ids[j]))
+                    out_ham.append(int(ham[m][j]))
+            arena[k] = sig
+            arena_ids[k] = did
+            k += 1
+        state.update((arena.tolist(), arena_ids.tolist()))
         if out_doc:
             yield pd.DataFrame(
                 {
@@ -349,7 +395,7 @@ def neardup_stream(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "sig": [simhash_of(t) for t in pdf["text"]],
+                    "sig": [simhash_int64(simhash_of(t)) for t in pdf["text"]],
                 }
             )
 
@@ -358,8 +404,10 @@ def neardup_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(docs_dir)
     signed = stream.select("doc_id", "text").mapInPandas(
-        sign, schema="doc_id long, sig string"
+        sign, schema="doc_id long, sig long"
     )
+    # band b covers signature chars [16b, 16b+16) = bits 63-16b..48-16b
+    # of the int64 — an unsigned shift + mask, JVM-side
     bands = signed.select(
         "doc_id",
         "sig",
@@ -367,7 +415,10 @@ def neardup_stream(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_idx"),
-                    F.substring("sig", b * band_w + 1, band_w).alias("band_key"),
+                    F.shiftrightunsigned("sig", band_w * (SIMHASH_N_BANDS - 1 - b))
+                    .bitwiseAND(F.lit((1 << band_w) - 1))
+                    .cast("int")
+                    .alias("band_key"),
                 )
                 for b in range(SIMHASH_N_BANDS)
             ])
