@@ -549,3 +549,103 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_K)
     )
+
+
+# --- passage-level (C4-style) boilerplate dedup ---
+#
+# C4 / RefinedWeb remove any line/paragraph that repeats verbatim across
+# the corpus (navigation chrome, cookie banners, license footers). The
+# synthetic ``documents`` table has no newlines, so the passage unit is
+# a non-overlapping 10-word window — the mechanics (global passage
+# count -> membership filter -> per-doc retention stats) are identical.
+
+PASSAGE_WORDS = 10
+PASSAGE_BOILER_MIN = 3  # a passage seen >= 3 times corpus-wide is boilerplate
+
+
+@register(
+    "dedup_passages",
+    priority=12,  # new in r5 -> into the driver's checked window
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text, ' '), ' ') AS ws FROM documents
+    ), ch AS (
+      SELECT doc_id,
+             unnest(range((len(ws) + {PASSAGE_WORDS - 1}) // {PASSAGE_WORDS})) AS i,
+             ws
+      FROM w
+    ), p AS (
+      SELECT doc_id,
+             array_to_string(
+               ws[(i * {PASSAGE_WORDS} + 1):(i * {PASSAGE_WORDS} + {PASSAGE_WORDS})],
+               ' '
+             ) AS passage
+      FROM ch
+    ), boiler AS (
+      SELECT passage FROM p GROUP BY passage
+      HAVING count(*) >= {PASSAGE_BOILER_MIN}
+    )
+    SELECT p.doc_id,
+           count(*) AS n_passages,
+           CAST(sum(CASE WHEN b.passage IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN b.passage IS NULL THEN length(p.passage) ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM p LEFT JOIN boiler b ON p.passage = b.passage
+    GROUP BY p.doc_id
+    """,
+    doc=(
+        "training-data op: C4-style passage-level boilerplate dedup — "
+        "global count of verbatim 10-word passages, passages repeating "
+        ">= 3x are boilerplate, per-doc retention stats"
+    ),
+)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide verbatim-passage removal stats (the C4 boilerplate pass).
+
+    Plan shape (the 100 TB design, machine-asserted in test_plans):
+
+    - the doc stream is exploded to (doc_id, passage) but NEVER shuffles
+      on passage: boilerplate membership arrives via a BROADCAST left
+      join, not a repartition of the corpus;
+    - the only full-width shuffle is the passage count groupBy, which
+      map-side partial-aggregates (one row per distinct passage per
+      task) before the exchange;
+    - the boilerplate set (count >= 3) is a tiny fraction of distinct
+      passages — broadcastable far beyond this SF. If it ever outgrew
+      the broadcast threshold Spark falls back to a shuffle join; the
+      C4 paper's equivalent is a distributed membership table.
+    - per-doc stats partial-aggregate to one row per doc before the
+      final doc_id exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = words_of(F.trim(F.col("text")))
+    n_chunks = (F.size(words) + (PASSAGE_WORDS - 1)).cast("long") / F.lit(
+        PASSAGE_WORDS
+    )
+    idx = F.sequence(F.lit(0), F.floor(n_chunks).cast("int") - 1)
+    chunks = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * PASSAGE_WORDS + 1, PASSAGE_WORDS)
+        ),
+    )
+    p = docs.select("doc_id", F.explode(chunks).alias("passage"))
+    boiler = (
+        p.groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= PASSAGE_BOILER_MIN)
+        .select("passage", F.lit(True).alias("is_boiler"))
+    )
+    kept = F.col("is_boiler").isNull()
+    return (
+        p.join(F.broadcast(boiler), "passage", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(kept, F.length("passage")).otherwise(F.lit(0))
+            ).alias("kept_chars"),
+        )
+    )

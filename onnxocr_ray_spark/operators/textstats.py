@@ -194,3 +194,82 @@ def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# --- repetition stats (Gopher-style repetition filters) ---
+
+@register(
+    "text_repetition",
+    priority=12,  # new in r5 -> into the driver's checked window
+    sql="""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(trim(text, ' '), ' ')) AS word
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, word, count(*) AS c FROM ex GROUP BY doc_id, word
+    ), agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             count(*) AS n_distinct
+      FROM wc GROUP BY doc_id
+    ), top AS (
+      SELECT doc_id, word AS top_word, c AS top_count,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, word ASC
+             ) AS rn
+      FROM wc
+    )
+    SELECT a.doc_id, n_words, n_distinct, top_word, top_count,
+           top_count * 1000000 // n_words AS top_ppm,
+           n_distinct * 1000000 // n_words AS distinct_ppm
+    FROM agg a JOIN top t ON a.doc_id = t.doc_id
+    WHERE rn = 1
+    """,
+    doc=(
+        "training-data op: Gopher-style repetition stats — most-common-"
+        "word fraction + distinct-word fraction per doc (the repetition "
+        "quality filters of the Gopher/MassiveText pipeline)"
+    ),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics for quality filtering.
+
+    Gopher's repetition filters drop docs whose most frequent word
+    covers too much of the text or whose distinct-word ratio is too low
+    (templated / keyword-stuffed pages). Ratios are reported as integer
+    parts-per-million (floor division on BOTH engines) so the driver's
+    value hash never trips on float summation order.
+
+    Scale: explode -> (doc_id, word) groupBy partial-aggregates map-side
+    (bounded per-task state: distinct words per doc chunk), then the
+    per-doc top-1 is a WindowGroupLimit-able row_number over the already
+    doc_id-clustered counts — the same exchange serves the window and
+    the totals join, and AQE coalesces it. No Python, pure codegen.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    ex = docs.select("doc_id", F.explode(words).alias("word"))
+    wc = ex.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("word").asc())
+    top = (
+        wc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("word").alias("top_word"),
+            F.col("c").alias("top_count"),
+        )
+    )
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    return agg.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "top_word",
+        "top_count",
+        F.expr("top_count * 1000000L div n_words").alias("top_ppm"),
+        F.expr("n_distinct * 1000000L div n_words").alias("distinct_ppm"),
+    )

@@ -94,26 +94,13 @@ def test_get_session_caches_numpy_sessions():
     assert s1 is s2 and isinstance(s1, NumpyOnnxSession)
 
 
-def _real_cls_factory():
-    """Provider factory for extract(): REAL cls weights via the numpy
-    evaluator + a raster-decoding recognizer double (rec blobs are
-    stripped from the snapshot). Module-level so cloudpickle ships it."""
-    from onnxocr_ray_spark.kernels.recognize import recognize_span
-    from onnxocr_ray_spark.models import OrtClassifier
-    from onnxocr_ray_spark.rasterize import decode_norm_chw
-    from onnxocr_ray_spark.preprocess import rec_resize_norm
-
-    clf = OrtClassifier("/root/reference/onnxocr/models/ppocrv5/cls/cls.onnx")
-
-    def rec(images, rec_widths=None):
-        out = []
-        for img in images:
-            ratio = img.shape[1] / img.shape[0]
-            w, raw = decode_norm_chw(rec_resize_norm(img, ratio))
-            out.append(recognize_span(raw, w))
-        return out
-
-    return clf, rec
+# Provider factory for extract(): REAL cls weights via the numpy
+# evaluator + a raster-decoding recognizer double (rec blobs are
+# stripped from the snapshot). Must live in a LIBRARY module:
+# cloudpickle serializes module-level functions by reference
+# (module + qualname), and Spark's Python workers cannot import this
+# test module — only the installed package is on their sys.path.
+from onnxocr_ray_spark.entrypipeline import _provider_demo_factory as _real_cls_factory
 
 
 @needs_models

@@ -62,12 +62,42 @@ def test_oracle_dtypes_align(spark, duck, name):
         )
 
 
-def test_registry_order_puts_oracle_backed_first():
+def test_registry_order_honors_rotation_policy():
     """The driver's correctness gate checks the FIRST 50 registered
-    queries per round (observed in r02), so ordering is contract:
-    rows-only (sql=None) queries must sort last, and the first 50 must
-    all be oracle-backed."""
+    queries per round (observed in r02), so ordering is contract.
+
+    r5 rotation (VERDICT r4 item 4): the three rows-only surfaces
+    (`extract_e2e`, `detection_only`, `extract_spans`) are deliberately
+    INSIDE the window this round — they had no driver row since r2.
+    The standing invariants are:
+
+    - within one priority tier, sql=None sorts after oracle-backed
+      (the load_all tie-breaker), so rows-only never displaces an
+      equal-priority oracle row;
+    - every query OUTSIDE the first-50 window has a green row in
+      CORRECTNESS_r04.json, so r04 ∪ r05 covers the whole registry.
+    """
+    import json
+    import os
+
     names = list(QUERIES)
-    rows_only = [n for n in names if QUERIES[n].sql is None]
-    assert names[-len(rows_only):] == rows_only
-    assert all(QUERIES[n].sql is not None for n in names[:50])
+    for a, b in zip(names, names[1:]):
+        qa, qb = QUERIES[a], QUERIES[b]
+        if qa.priority == qb.priority and qa.sql is None:
+            assert qb.sql is None, (
+                f"{a} (rows-only) sorts before oracle-backed {b} "
+                f"at priority {qa.priority}"
+            )
+    for surface in ("extract_e2e", "detection_only", "extract_spans"):
+        assert surface in names[:50], f"{surface} rotated out of the window"
+    r04_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r04.json")
+    with open(r04_path) as fh:
+        r04 = json.load(fh)
+    for name in names[50:]:
+        row = r04.get(name)
+        assert row is not None and row.get("rows_match") and row.get(
+            "hash_match"
+        ), (
+            f"{name} is outside the r5 driver window but has no green "
+            "r04 row — the two-round freshness policy is violated"
+        )

@@ -261,3 +261,26 @@ def test_ann_ivf_trained_update_partial_aggregates(spark, queries):
     assert len(aggs) >= 2, plan
     assert any("partial_sum" in l for l in aggs), aggs
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_dedup_passages_broadcasts_boilerplate_set(spark, queries):
+    """The C4 passage pass must never shuffle the doc stream on passage:
+    membership comes from a BROADCAST of the (count >= 3) boilerplate
+    set, and the only hash exchanges are the two partial-aggregated
+    groupBys (passage counts; per-doc stats)."""
+    plan = plan_of(queries["dedup_passages"].fn(spark, SF0001))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    # both groupBys combine map-side before their exchange
+    assert plan.count("partial_count") >= 2
+
+
+def test_text_repetition_top1_is_group_limited(spark, queries):
+    """The per-doc top-word pick must run as a map-side WindowGroupLimit
+    (top-1 per doc before the exchange), not a full sort of all
+    (doc, word) counts; totals join back via broadcast."""
+    plan = plan_of(queries["text_repetition"].fn(spark, SF0001))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
