@@ -649,3 +649,102 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_chars"),
         )
     )
+
+
+# --- benchmark decontamination (n-gram probe membership) ---
+#
+# Every production pretraining pipeline runs a decontamination pass:
+# flag documents that contain any n-gram from a held-out benchmark
+# suite (GPT-3 appendix C uses 13-grams; the Pile / Llama reports use
+# the same shape). The probe set here is synthesized deterministically
+# from the corpus itself — the first 13-gram of every doc_id % 97 == 13
+# document plays the "benchmark" — so both engines build the identical
+# set with no external data.
+
+DECON_N = 13            # the GPT-3 / Pile decontamination n-gram width
+DECON_SLICE = 97        # benchmark docs: doc_id % 97 == 13
+DECON_RESIDUE = 13
+
+
+@register(
+    "decontaminate",
+    priority=12,  # new in r5 -> into the driver's checked window
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text, ' '), ' ') AS ws FROM documents
+    ), probes AS (
+      SELECT DISTINCT
+             substr(md5(array_to_string(ws[1:{DECON_N}], ' ')), 1, 16) AS gram_h
+      FROM w
+      WHERE doc_id % {DECON_SLICE} = {DECON_RESIDUE} AND len(ws) >= {DECON_N}
+    ), g AS (
+      SELECT doc_id,
+             substr(md5(array_to_string(ws[i:i + {DECON_N - 1}], ' ')), 1, 16)
+               AS gram_h
+      FROM w, unnest(range(1, greatest(len(ws) - {DECON_N - 2}, 1))) AS t(i)
+    )
+    SELECT g.doc_id,
+           count(*) AS n_hits,
+           count(DISTINCT g.gram_h) AS n_probe_grams
+    FROM g JOIN probes USING (gram_h)
+    GROUP BY g.doc_id
+    """,
+    doc=(
+        "training-data op: benchmark decontamination — flag documents "
+        "containing any 13-gram of a (synthesized) benchmark probe set "
+        "via a broadcast hashed-n-gram join (the GPT-3/Pile decontam "
+        "pass)"
+    ),
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents sharing any 13-gram with the benchmark probe set.
+
+    Returns one row per contaminated document with the total number of
+    matching 13-gram occurrences and the number of distinct probe grams
+    hit (benchmark docs self-match by construction, so the result is
+    never empty).
+
+    Plan shape (the 100 TB design, machine-asserted in test_plans):
+
+    - probes are hashed to 16 hex chars of md5 BEFORE the join — the
+      production trick that makes a benchmark suite (millions of
+      n-grams) broadcastable as fixed-width keys instead of raw strings;
+    - the corpus stream explodes to sliding 13-grams but meets the probe
+      set in a BROADCAST inner join, which filters map-side: only actual
+      hit rows (a vanishing fraction) ever reach the per-doc count
+      exchange. The corpus never shuffles on gram;
+    - the probe-set distinct and the per-doc count are the only hash
+      exchanges, both partial-aggregated.
+
+    At real scale the probe set comes from the benchmark files instead
+    of a corpus slice; the join shape is unchanged. False-positive rate
+    of the 64-bit key truncation is ~n^2/2^65 — below one collision per
+    corpus at any feasible probe count (and a collision only ever ADDS
+    a flagged doc for human review, never drops one).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = words_of(F.trim(F.col("text")))
+    gram_h = lambda g: F.substring(portable_md5(g), 1, 16)  # noqa: E731
+
+    probes = (
+        docs.filter(
+            (F.col("doc_id") % DECON_SLICE == DECON_RESIDUE)
+            & (F.size(words) >= DECON_N)
+        )
+        .select(
+            gram_h(F.concat_ws(" ", F.slice(words, 1, DECON_N))).alias("gram_h")
+        )
+        .distinct()
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(shingles_of(words, DECON_N)).alias("gram"),
+    ).select("doc_id", gram_h(F.col("gram")).alias("gram_h"))
+    return (
+        grams.join(F.broadcast(probes), "gram_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("gram_h").alias("n_probe_grams"),
+        )
+    )

@@ -273,3 +273,82 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("top_count * 1000000L div n_words").alias("top_ppm"),
         F.expr("n_distinct * 1000000L div n_words").alias("distinct_ppm"),
     )
+
+
+# --- distinctive keywords (integer TF-IDF proxy) ---
+
+@register(
+    "doc_keywords",
+    priority=12,  # new in r5 -> into the driver's checked window
+    sql="""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(trim(text, ' '), ' ')) AS word
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, word, count(*) AS tf FROM ex GROUP BY doc_id, word
+    ), dfreq AS (
+      SELECT word, count(*) AS n_docs FROM wc GROUP BY word
+    ), s AS (
+      SELECT wc.doc_id, wc.word, tf, n_docs,
+             tf * 1000000 // n_docs AS score_ppm,
+             row_number() OVER (
+               PARTITION BY wc.doc_id
+               ORDER BY tf * 1000000 // n_docs DESC, wc.word ASC
+             ) AS kw_rank
+      FROM wc JOIN dfreq USING (word)
+    )
+    SELECT doc_id, kw_rank, word, tf, n_docs, score_ppm
+    FROM s WHERE kw_rank <= 3
+    """,
+    doc=(
+        "training-data op: per-doc distinctive keywords — top-3 terms "
+        "by an integer TF-IDF proxy (tf * 1e6 // corpus doc-frequency), "
+        "broadcast vocabulary join + map-side window group limit"
+    ),
+)
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document.
+
+    The score is ``tf * 1_000_000 // n_docs`` — integer floor division
+    on BOTH engines, monotone in the tf/df ratio, so it ranks exactly
+    like tf-idf with a reciprocal-df weight while staying bit-stable
+    across engines (no transcendental idf, no float summation order).
+
+    Plan shape (the 100 TB design, machine-asserted in test_plans):
+
+    - (doc_id, word) term counts partial-aggregate map-side (bounded
+      per-task state: distinct words per doc chunk);
+    - the vocabulary table (word -> doc frequency) is aggregated from
+      the term counts and BROADCAST back — a natural-language
+      vocabulary is heavy-tailed but small (10^6-10^7 rows at any
+      corpus size; Heaps' law), so it never justifies shuffling the
+      corpus-sized term-count stream on word;
+    - the per-doc top-3 runs as a map-side WindowGroupLimit over the
+      already doc_id-clustered counts.
+
+    At 10^12 docs the term-count stream would be checkpointed once and
+    reused for both the vocabulary agg and the join (here Spark simply
+    recomputes the cheap scan twice).
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"),
+    )
+    wc = ex.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = wc.groupBy("word").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        wc.join(F.broadcast(dfreq), "word")
+        .withColumn("score_ppm", F.expr("tf * 1000000L div n_docs"))
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("word").asc()
+    )
+    return (
+        # long cast: DuckDB row_number() is BIGINT, Spark's is int
+        scored.withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("kw_rank") <= 3)
+        .select("doc_id", "kw_rank", "word", "tf", "n_docs", "score_ppm")
+    )

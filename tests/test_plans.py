@@ -284,3 +284,28 @@ def test_text_repetition_top1_is_group_limited(spark, queries):
     assert "WindowGroupLimit" in plan and "Partial" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_decontaminate_broadcasts_probe_set(spark, queries):
+    """The decontamination pass must meet the probe set in a BROADCAST
+    inner join (the corpus never shuffles on gram); the only hash
+    exchanges are the probe-set distinct and the per-doc hit count —
+    countDistinct plans as a two-phase aggregate, so the hit count
+    takes two exchanges, but both carry ONLY post-join hit rows (a
+    vanishing fraction of the corpus) and partial-aggregate first."""
+    plan = plan_of(queries["decontaminate"].fn(spark, SF0001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "partial_count" in plan
+
+
+def test_doc_keywords_broadcasts_vocabulary(spark, queries):
+    """The vocabulary (word -> doc frequency) joins back to the term
+    counts via BROADCAST — the corpus-sized term-count stream never
+    re-shuffles on word for the join — and the per-doc top-3 runs as a
+    map-side WindowGroupLimit."""
+    plan = plan_of(queries["doc_keywords"].fn(spark, SF0001))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
