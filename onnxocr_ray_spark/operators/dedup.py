@@ -723,28 +723,47 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a flagged doc for human review, never drops one).
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = words_of(F.trim(F.col("text")))
-    gram_h = lambda g: F.substring(portable_md5(g), 1, 16)  # noqa: E731
-
-    probes = (
-        docs.filter(
-            (F.col("doc_id") % DECON_SLICE == DECON_RESIDUE)
-            & (F.size(words) >= DECON_N)
-        )
-        .select(
-            gram_h(F.concat_ws(" ", F.slice(words, 1, DECON_N))).alias("gram_h")
-        )
-        .distinct()
-    )
-    grams = docs.select(
-        "doc_id",
-        F.explode(shingles_of(words, DECON_N)).alias("gram"),
-    ).select("doc_id", gram_h(F.col("gram")).alias("gram_h"))
     return (
-        grams.join(F.broadcast(probes), "gram_h")
+        decon_doc_grams(docs)
+        .join(F.broadcast(decon_probes(docs)), "gram_h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
             F.countDistinct("gram_h").alias("n_probe_grams"),
         )
     )
+
+
+def _decon_gram_h(gram):
+    """16 hex chars of md5(gram): the fixed-width broadcastable join key."""
+    return F.substring(portable_md5(gram), 1, 16)
+
+
+def decon_probes(docs: DataFrame) -> DataFrame:
+    """The synthesized benchmark probe set: the hashed first 13-gram of
+    every ``doc_id % 97 == 13`` document (one ``gram_h`` column). At
+    real scale this would read the benchmark files instead."""
+    words = words_of(F.trim(F.col("text")))
+    return (
+        docs.filter(
+            (F.col("doc_id") % DECON_SLICE == DECON_RESIDUE)
+            & (F.size(words) >= DECON_N)
+        )
+        .select(
+            _decon_gram_h(
+                F.concat_ws(" ", F.slice(words, 1, DECON_N))
+            ).alias("gram_h")
+        )
+        .distinct()
+    )
+
+
+def decon_doc_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram_h) for every sliding 13-gram of every document.
+    Works identically on a batch or streaming ``docs`` frame (pure
+    column expressions, no aggregation)."""
+    words = words_of(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.explode(shingles_of(words, DECON_N)).alias("gram"),
+    ).select("doc_id", _decon_gram_h(F.col("gram")).alias("gram_h"))

@@ -433,3 +433,46 @@ def neardup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def decontaminate_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    probes: DataFrame,
+    schema: Optional[str] = None,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming benchmark decontamination: the cross-micro-batch form
+    of the batch ``decontaminate`` registry query (operators/dedup.py).
+
+    A STREAM-STATIC join — the canonical online-ingest shape: documents
+    arrive continuously, the benchmark probe set (``probes``, one
+    ``gram_h`` column, built by ``operators.dedup.decon_probes`` or
+    read from real benchmark files) is a bounded static table that
+    Spark broadcasts into every micro-batch. Each arriving document
+    explodes to sliding hashed 13-grams (the SAME
+    ``decon_doc_grams`` column expressions as batch, so hits agree
+    bit-for-bit) and inner-joins the broadcast probe set; the output is
+    one append-mode row per (doc_id, gram_h) hit.
+
+    Deliberately STATE-FREE: no streaming aggregation, no watermark, no
+    state store — a hit row depends only on its own document, so
+    append mode emits each exactly once and a failure replay
+    re-emits deterministic rows. (Streaming aggregation cannot express
+    the batch op's countDistinct anyway — distinct aggregates are
+    unsupported on streams; per-doc rollup is a trivial downstream
+    batch groupBy over the sink.)
+
+    At 10^12 docs/day this is the cheapest possible shape: the static
+    side is broadcast once per micro-batch, the stream side never
+    shuffles — no exchange at all in the continuous plan.
+    """
+    schema = schema or "doc_id long, text string, lang string"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    from onnxocr_ray_spark.operators.dedup import decon_doc_grams
+
+    return decon_doc_grams(stream).join(F.broadcast(probes), "gram_h")

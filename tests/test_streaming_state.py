@@ -519,3 +519,72 @@ def test_neardup_stream_skewed_bucket_bounded(spark, tmpdir):
     }
     state_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
     assert state_rows == len(buckets), (state_rows, len(buckets))
+
+
+def test_decontaminate_stream_matches_batch_hits(spark, tmpdir):
+    """Stream-static decontamination: docs arriving across micro-batches
+    join the broadcast probe set with the SAME hashed-13-gram columns as
+    the batch op, so the appended hit rows equal the batch join over the
+    union — including a contaminated doc that arrives in a LATER batch
+    than the probe doc it copies."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from onnxocr_ray_spark.operators.dedup import (
+        decon_doc_grams,
+        decon_probes,
+    )
+    from onnxocr_ray_spark.streaming.pipeline import decontaminate_stream
+
+    docs_dir = f"{tmpdir}/docs"
+    os.makedirs(docs_dir)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{SF0001}/documents.parquet' "
+        "WHERE doc_id < 150 ORDER BY doc_id"
+    ).fetchall()
+    chunk1 = [(int(d), t, l) for d, t, l in rows[:100]]
+    probe_text = next(t for d, t, l in chunk1 if d == 13)
+    # chunk2: fresh docs PLUS a late doc quoting the probe doc's opening
+    # 13-gram inside otherwise-original text (a genuine contamination)
+    quoted = " ".join(probe_text.strip().split(" ")[:13])
+    chunk2 = [(int(d), t, l) for d, t, l in rows[100:]] + [
+        (5000, f"totally new words then {quoted} and a tail", "en")
+    ]
+    schema = "doc_id long, text string, lang string"
+    spark.createDataFrame(chunk1, schema).coalesce(1).write.parquet(
+        f"{docs_dir}/c0"
+    )
+    spark.createDataFrame(chunk2, schema).coalesce(1).write.parquet(
+        f"{docs_dir}/c1"
+    )
+    union = spark.createDataFrame(chunk1 + chunk2, schema)
+    probes = decon_probes(union)
+
+    out = decontaminate_stream(
+        spark, f"{docs_dir}/c*", probes, max_files_per_trigger=1
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("decon_out")
+        .option("checkpointLocation", f"{tmpdir}/deckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = sorted(
+        (r.doc_id, r.gram_h)
+        for r in spark.sql("SELECT * FROM decon_out").collect()
+    )
+    batch = sorted(
+        (r.doc_id, r.gram_h)
+        for r in decon_doc_grams(union)
+        .join(F.broadcast(probes), "gram_h")
+        .collect()
+    )
+    assert streamed == batch
+    # the late-arriving contaminated doc was flagged
+    assert any(d == 5000 for d, _ in streamed)
+    # probe docs self-match
+    assert any(d == 13 for d, _ in streamed)
