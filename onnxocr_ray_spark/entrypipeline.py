@@ -214,6 +214,66 @@ def extract_golden_sample_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dilation-config golden pins (op_dilate, the last SURVEY §2 partial):
+# the same 12 fixture docs run with use_dilation=True — the 2×2
+# cv2.dilate analog (`db_postprocess.py:56,223-224`) that merges
+# above-threshold blocks separated by a <=1-cell gap into one contour
+# before scoring (kernels/detect.py::_dilate_merge). 10 of the 12 docs
+# genuinely merge regions under the flag (span counts drop, checksums
+# change), so the row evidences the branch, not just the plumbing.
+# Pinned from the serial oracle; drift-guarded in
+# tests/test_extract_parity.py.
+_GOLDEN_SAMPLE_DILATE = [
+    ("https://example.org/en/udaxihhe/0", 0, "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"),
+    ("https://example.org/en/qpnowqxe/1", 0, "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"),
+    ("https://example.org/en/ppmwlagk/2", 2, "2eb4caf04fd045439fc15634c11671bfa4eacf0b516a7245592bd7f018826372"),
+    ("https://example.org/zh/alxhfief/3", 81, "35b886996e8c68ca2cda01f40b4a30ab97c273c4dfcb2a1d7a0e35be871f40fd"),
+    ("https://example.org/es/lnvqsemi/4", 3, "f6c4b0ee46a5edd182a6b24affef87bd576e007df116d02aca6c98e0bc549362"),
+    ("https://example.org/de/acjqpasx/5", 3, "07fd29392ae06a4b90f9d80bfc98fa12c42fda22ffb11a553ccd06fe2d0ab56e"),
+    ("https://example.org/es/gmsugbsz/6", 2, "b4540f5555fcb682cb73bb7aaf6e8182beea76f6044df7881de27ed316943b01"),
+    ("https://example.org/de/mkorhbrl/7", 3, "0027c67895d3c34e4862055604dc35844d3c85a37c4431afa5dac77130242357"),
+    ("https://example.org/zh/dlzmrnbn/8", 7, "424beb689befcd911a417fbb0a46044622217a1a35b33b485f225ab688595844"),
+    ("https://example.org/en/newugfir/9", 4, "253b7156646c7ebb736747440ea1cb73b52bf275256bc1e2fbaafbd4aec84907"),
+    ("https://example.org/es/iwdkddmc/10", 3, "17d3483a03feb64ce09e2baa6317fac9c9c29b33766076aa2384d39ffeef1807"),
+    ("https://example.org/de/wycwjjyg/11", 4, "b5ed6d25a00e1186606597c28571b8093ef6afc5e63b364b6190866cd56010d6"),
+]
+
+_GOLDEN_DILATE_VALUES_SQL = ",\n      ".join(
+    f"('{u}', {n}, '{c}')" for u, n, c in _GOLDEN_SAMPLE_DILATE
+)
+
+
+@register(
+    "extract_golden_dilate",
+    priority=1,
+    sql=f"""
+    SELECT * FROM (VALUES
+      {_GOLDEN_DILATE_VALUES_SQL}
+    ) AS t(url, n_spans, checksum)
+    """,
+    doc=(
+        "flagship byte-identity under use_dilation=True (op_dilate, the "
+        "2x2 cv2.dilate analog of db_postprocess.py:223-224: <=1-cell-gap "
+        "block merge before contour scoring), driver-checked: extract() "
+        "over the 12 edge-bucket docs vs serial-oracle-pinned goldens; "
+        "10/12 docs merge regions under the flag"
+    ),
+)
+def extract_golden_dilate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataclasses import replace
+
+    from onnxocr_ray_spark.config import DEFAULT_CONFIG
+    from onnxocr_ray_spark.sources.pages import pages_from_docs_df
+
+    cfg = replace(DEFAULT_CONFIG, use_dilation=True)
+    docs = spark.createDataFrame(
+        _GOLDEN_DOCS, "doc_id long, text string, lang string"
+    )
+    return extract(pages_from_docs_df(docs), cfg).select(
+        "url", "n_spans", "checksum"
+    )
+
+
 # Provider-mode golden row (VERDICT r4 item 7 + item 2): the same 12
 # fixture docs through extract() PROVIDER mode. The classify stage runs
 # the reference's REAL shipped cls.onnx weights (ppocrv5 PP-LCNet) via

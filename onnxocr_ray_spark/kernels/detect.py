@@ -22,7 +22,7 @@ top-left, matching the reference's corner canonicalization
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from onnxocr_ray_spark.config import ExtractConfig
 from onnxocr_ray_spark.kernels.html import RawBlock, decode_html, tokenize_blocks
@@ -152,6 +152,91 @@ def _poly_outline(block: RawBlock, cfg: ExtractConfig) -> List[Tuple[float, floa
     return pts[start:] + pts[:start]
 
 
+def _dilate_merge(blocks: List[RawBlock], cfg: ExtractConfig) -> List[RawBlock]:
+    """``op_dilate`` analog: merge above-threshold blocks a 2×2 dilation
+    would connect, then hand the merged pseudo-blocks to the normal
+    contour pipeline.
+
+    The reference (`db_postprocess.py:56,223-224`) dilates the binarized
+    segmentation mask with a 2×2 ones kernel before ``findContours`` when
+    ``use_dilation`` is set: components separated by a one-pixel gap grow
+    into each other and emerge as ONE contour, whose score is then
+    re-measured on the ORIGINAL probability map (``box_score_fast``). On
+    the char grid the analog is exact: two blocks that pass binarize
+    (``score > det_db_thresh`` — below-threshold blocks are background and
+    neither merge nor grow) connect iff their line gap and column gap are
+    each <= 1 cell, transitively (connected components, 4-connectivity
+    after growth). The merged pseudo-block is the component's bounding
+    box; its stat sums make ``content_density`` the exact area-weighted
+    re-score over the union (the mediant of member densities — provably
+    within [min, max] of the members, so re-binarization in the caller
+    never drops a merged component). ``lim_candidates`` then counts merged
+    contours, matching ``contours[:max_candidates]`` post-dilation.
+
+    Non-default path (``use_dilation=False`` in the reference config,
+    `config.yaml:29`): the hot quad path never calls this.
+    """
+    qualifying: List[int] = []
+    passthrough: List[RawBlock] = []
+    for i, b in enumerate(blocks):
+        if content_density(b, cfg) > cfg.det_db_thresh:
+            qualifying.append(i)
+        else:
+            passthrough.append(b)
+    n = len(qualifying)
+    # union-find over qualifying blocks; candidate counts per doc are
+    # bounded by max_candidates, and this runs only under the non-default
+    # flag, so the O(n^2) adjacency scan is fine
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def touches(a: RawBlock, b: RawBlock) -> bool:
+        gap_v = max(a.line0, b.line0) - min(a.line1, b.line1) - 1
+        gap_h = max(a.col0, b.col0) - min(
+            a.col0 + a.width_chars, b.col0 + b.width_chars
+        )
+        return gap_v <= 1 and gap_h <= 1
+
+    for i in range(n):
+        bi = blocks[qualifying[i]]
+        for j in range(i + 1, n):
+            if touches(bi, blocks[qualifying[j]]):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+    comps: Dict[int, List[RawBlock]] = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(blocks[qualifying[i]])
+    merged: List[RawBlock] = []
+    for members in comps.values():
+        if len(members) == 1:
+            merged.append(members[0])
+            continue
+        members.sort(key=lambda b: (b.line0, b.col0, b.order))
+        col0 = min(b.col0 for b in members)
+        merged.append(
+            RawBlock(
+                raw="\n".join(b.raw for b in members),
+                line0=min(b.line0 for b in members),
+                line1=max(b.line1 for b in members),
+                col0=col0,
+                width_chars=max(b.col0 + b.width_chars for b in members) - col0,
+                text_chars=sum(b.text_chars for b in members),
+                link_chars=sum(b.link_chars for b in members),
+                n_tags=sum(b.n_tags for b in members),
+                order=min(b.order for b in members),
+            )
+        )
+    out = merged + passthrough
+    out.sort(key=lambda b: (b.order, b.line0, b.col0))
+    return out
+
+
 def doc_extent(blocks: List[RawBlock], cfg: ExtractConfig) -> Tuple[float, float]:
     """Document width/height in pixels, from the visible block extents."""
     w = 0.0
@@ -187,6 +272,8 @@ def detect_regions_src(src: Optional[str], cfg: ExtractConfig) -> List[Region]:
     if not blocks:
         return []
     doc_w, doc_h = doc_extent(blocks, cfg)
+    if cfg.use_dilation:                         # op_dilate (non-default)
+        blocks = _dilate_merge(blocks, cfg)
 
     regions: List[Region] = []
     n_candidates = 0

@@ -117,6 +117,20 @@ def test_parity_poly_box_type(spark):
     _assert_parity(_collect_spark(spark, cfg), oracle)
 
 
+def test_parity_use_dilation(spark):
+    """use_dilation=True (op_dilate, the 2x2 cv2.dilate analog of
+    db_postprocess.py:223-224): distributed == serial byte-identically
+    under the variant config, across the full sf0.001 corpus."""
+    from dataclasses import replace
+
+    cfg = replace(DEFAULT_CONFIG, use_dilation=True)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{SF0001}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    oracle = extract_serial(pages_local(rows), cfg)
+    _assert_parity(_collect_spark(spark, cfg), oracle)
+
+
 def test_golden_sample_pins_match_serial_oracle():
     """The extract_golden_sample VALUES oracle is pinned FROM the serial
     oracle over the fixture docs; if the synthesizer or kernel
@@ -161,3 +175,24 @@ def test_golden_sample_poly_pins_match_serial_oracle():
 
     got = [(u, r.n_spans, r.checksum, box_sig(r.spans)) for u, r in res.items()]
     assert sorted(got) == sorted(_GOLDEN_SAMPLE_POLY)
+
+
+def test_golden_sample_dilate_pins_match_serial_oracle():
+    """Drift guard for the use_dilation pins, plus the evidence claim
+    the registry doc makes: the flag must actually merge regions on
+    most fixture docs (not reduce to the base goldens)."""
+    from dataclasses import replace
+
+    from onnxocr_ray_spark.entrypipeline import (
+        _GOLDEN_DOCS, _GOLDEN_SAMPLE, _GOLDEN_SAMPLE_DILATE,
+    )
+
+    cfg = replace(DEFAULT_CONFIG, use_dilation=True)
+    res = extract_serial(pages_local(_GOLDEN_DOCS), cfg)
+    got = [(u, r.n_spans, r.checksum) for u, r in res.items()]
+    assert sorted(got) == sorted(_GOLDEN_SAMPLE_DILATE)
+    base = {u: (n, c) for u, n, c in _GOLDEN_SAMPLE}
+    changed = sum(
+        1 for u, n, c in _GOLDEN_SAMPLE_DILATE if base[u] != (n, c)
+    )
+    assert changed >= 8, f"dilation only changed {changed}/12 docs"

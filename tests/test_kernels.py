@@ -321,3 +321,104 @@ def test_rtl_span_survives_extraction_in_visual_order():
     # reassembly is an involution on a single line: applying it again
     # restores logical order, proving the emitted form is the visual one
     assert bidi_reassemble(bidi_reassemble(ar_lines[0])) == ar_lines[0]
+
+
+# --- op_dilate analog (_dilate_merge, db_postprocess.py:56,223-224) ---
+
+def _mk_block(line0, line1, col0, width, text=40, link=0, tags=0, order=0,
+              raw="x" * 40):
+    from onnxocr_ray_spark.kernels.html import RawBlock
+    return RawBlock(raw=raw, line0=line0, line1=line1, col0=col0,
+                    width_chars=width, text_chars=text, link_chars=link,
+                    n_tags=tags, order=order)
+
+
+def test_dilate_merges_one_line_gap():
+    from dataclasses import replace
+    from onnxocr_ray_spark.kernels.detect import _dilate_merge
+    cfg = replace(DEFAULT_CONFIG, use_dilation=True)
+    a = _mk_block(0, 2, 0, 30, order=0, raw="aaa")
+    b = _mk_block(4, 6, 5, 30, order=1, raw="bbb")   # gap of 1 line
+    out = _dilate_merge([a, b], cfg)
+    assert len(out) == 1
+    m = out[0]
+    assert (m.line0, m.line1) == (0, 6)
+    assert m.col0 == 0 and m.width_chars == 35
+    assert m.raw == "aaa\nbbb"
+    assert m.order == 0
+    assert m.text_chars == a.text_chars + b.text_chars
+
+
+def test_dilate_does_not_merge_two_line_gap():
+    from dataclasses import replace
+    from onnxocr_ray_spark.kernels.detect import _dilate_merge
+    cfg = replace(DEFAULT_CONFIG, use_dilation=True)
+    a = _mk_block(0, 2, 0, 30, order=0)
+    b = _mk_block(5, 7, 0, 30, order=1)              # gap of 2 lines
+    assert len(_dilate_merge([a, b], cfg)) == 2
+
+
+def test_dilate_does_not_merge_horizontally_disjoint():
+    from dataclasses import replace
+    from onnxocr_ray_spark.kernels.detect import _dilate_merge
+    cfg = replace(DEFAULT_CONFIG, use_dilation=True)
+    a = _mk_block(0, 2, 0, 10, order=0)              # cols [0, 10)
+    b = _mk_block(3, 5, 12, 10, order=1)             # col gap of 2 cells
+    assert len(_dilate_merge([a, b], cfg)) == 2
+
+
+def test_dilate_below_threshold_blocks_are_background():
+    """Blocks failing binarize neither merge nor bridge components —
+    the reference dilates the BINARIZED mask, not the raw scores."""
+    from dataclasses import replace
+    from onnxocr_ray_spark.kernels.detect import _dilate_merge
+    cfg = replace(DEFAULT_CONFIG, use_dilation=True)
+    a = _mk_block(0, 2, 0, 30, order=0)
+    nav = _mk_block(4, 4, 0, 30, text=30, link=30, order=1)  # density 0
+    b = _mk_block(6, 8, 0, 30, order=2)
+    # a and b are each 1 line from nav but 3 lines from each other: if
+    # nav (below binarize) could bridge, all three would merge
+    out = _dilate_merge([a, nav, b], cfg)
+    assert len(out) == 3
+
+
+def test_dilate_transitive_chain_merges():
+    from dataclasses import replace
+    from onnxocr_ray_spark.kernels.detect import _dilate_merge
+    cfg = replace(DEFAULT_CONFIG, use_dilation=True)
+    blocks = [_mk_block(i * 4, i * 4 + 2, 0, 30, order=i, raw=f"p{i}")
+              for i in range(4)]                     # each 1 line apart
+    out = _dilate_merge(blocks, cfg)
+    assert len(out) == 1
+    assert out[0].raw == "p0\np1\np2\np3"
+
+
+def test_dilate_merged_score_is_mediant():
+    """content_density over the merged pseudo-block equals the
+    stat-weighted mediant of the members (the box_score_fast re-measure
+    over the original probability map), and stays above det_db_thresh
+    when every member does."""
+    from dataclasses import replace
+    from onnxocr_ray_spark.kernels.detect import _dilate_merge, content_density
+    cfg = replace(DEFAULT_CONFIG, use_dilation=True)
+    a = _mk_block(0, 2, 0, 30, text=100, link=10, tags=2, order=0)
+    b = _mk_block(4, 6, 0, 30, text=50, link=20, tags=1, order=1)
+    sa, sb = content_density(a, cfg), content_density(b, cfg)
+    (m,) = _dilate_merge([a, b], cfg)
+    sm = content_density(m, cfg)
+    t, l, g = 150.0, 30.0, 3.0
+    assert abs(sm - (t - l) / (t + cfg.tag_weight * g)) < 1e-12
+    assert min(sa, sb) <= sm <= max(sa, sb)
+    assert sm > cfg.det_db_thresh
+
+
+def test_dilate_default_off_is_noop():
+    """The hot path is untouched when use_dilation is False (reference
+    default, config.yaml:29): detect output identical on a real page."""
+    from dataclasses import replace
+    html = synth_page(7, "spark shuffle join " * 40, "en")
+    base = detect_regions(html, DEFAULT_CONFIG)
+    again = detect_regions(html, replace(DEFAULT_CONFIG, use_dilation=False))
+    assert [(r.box, r.det_score, r.raw) for r in base] == [
+        (r.box, r.det_score, r.raw) for r in again
+    ]
