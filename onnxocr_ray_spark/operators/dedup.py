@@ -767,3 +767,90 @@ def decon_doc_grams(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(shingles_of(words, DECON_N)).alias("gram"),
     ).select("doc_id", _decon_gram_h(F.col("gram")).alias("gram_h"))
+
+
+# --- exact-substring duplication fraction ---
+#
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better" (ACL'22) measure how much of each document is duplicated
+# VERBATIM elsewhere in the corpus via suffix-array exact-substring
+# match. The distributed re-expression: a gram occurrence is
+# "duplicated" iff the same 13-gram (the decontamination width — one
+# shared constant, one shared kernel) appears in at least one OTHER
+# document; the per-doc duplicated fraction is then n_dup/n_grams over
+# its sliding gram occurrences. Docs above ~20% duplicated-fraction are
+# the ones the paper's dedup pass would rewrite.
+
+@register(
+    "dup_gram_fraction",
+    priority=12,  # new in r5 -> into the driver's checked window
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text, ' '), ' ') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id,
+             substr(md5(array_to_string(ws[i:i + {DECON_N - 1}], ' ')), 1, 16)
+               AS gram_h
+      FROM w, unnest(range(1, greatest(len(ws) - {DECON_N - 2}, 1))) AS t(i)
+    ), s AS (
+      SELECT gram_h, min(doc_id) AS mn, max(doc_id) AS mx
+      FROM g GROUP BY gram_h
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN s.mn <> s.mx THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(CAST(sum(CASE WHEN s.mn <> s.mx THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000000 // count(*) AS BIGINT) AS dup_ppm
+    FROM g JOIN s USING (gram_h)
+    GROUP BY g.doc_id
+    """,
+    doc=(
+        "training-data op: exact-substring duplication fraction (Lee et "
+        "al. ACL'22) — per-doc ppm of sliding 13-gram occurrences that "
+        "appear verbatim in at least one other document; min!=max(doc_id) "
+        "per gram replaces countDistinct"
+    ),
+)
+def dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verbatim-duplication fraction over 13-gram occurrences.
+
+    Plan shape (the 100 TB design, machine-asserted in test_plans):
+
+    - grams are hashed to 16 hex chars (64 bits) BEFORE any exchange, so
+      every shuffle moves fixed-width keys, never text;
+    - "appears in another doc" is min(doc_id) != max(doc_id) per gram —
+      two ALGEBRAIC aggregates that partial-aggregate map-side, where
+      countDistinct(doc_id) would carry per-gram doc sets through the
+      exchange;
+    - the gram table is as large as the corpus, so membership CANNOT
+      broadcast (unlike decontaminate's probe set): the join is a
+      shuffle join on gram_h, and the shared-gram side arrives at the
+      join already hash-partitioned by its own groupBy — Catalyst reuses
+      that distribution instead of exchanging it again;
+    - self-repeats don't count: a gram occurring five times inside ONE doc
+      has mn == mx and contributes zero to n_dup, exactly the
+      cross-document semantics of the suffix-array method.
+
+    64-bit key truncation can only merge two distinct grams (~n^2/2^65
+    chance), identically in both engines; a merge can only raise a
+    doc's dup count, never hide a duplicate.
+    """
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    g = decon_doc_grams(docs)
+    shared = g.groupBy("gram_h").agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    dup = (F.col("mn") != F.col("mx")).cast("long")
+    return (
+        g.join(shared, "gram_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(dup).alias("n_dup"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_dup",
+            F.expr("n_dup * 1000000 DIV n_grams").alias("dup_ppm"),
+        )
+    )

@@ -309,3 +309,20 @@ def test_doc_keywords_broadcasts_vocabulary(spark, queries):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan and "Partial" in plan
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_dup_gram_fraction_partial_aggregates_minmax(spark, queries):
+    """The shared-gram detector must be the algebraic min/max(doc_id)
+    pair (partial-aggregated map-side before the gram_h exchange), NOT
+    a countDistinct carrying per-gram doc sets through the shuffle; all
+    shuffled keys are the 16-hex fixed-width gram hash, never raw text,
+    and there are exactly two hash exchanges (gram stats + per-doc
+    rollup). At this SF AQE may build the doc-gram side as a broadcast;
+    at corpus scale it degrades to a shuffle join that reuses the
+    gram_h distribution the aggregate already produced."""
+    plan = plan_of(queries["dup_gram_fraction"].fn(spark, SF0001))
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "distinct" not in plan.lower()
+    assert "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "substring(md5(" in plan
