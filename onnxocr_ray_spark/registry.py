@@ -88,6 +88,7 @@ def load_all() -> Dict[str, Query]:
         similarity,
         sketches,
         textstats,
+        web,
     )
     from onnxocr_ray_spark import entrypipeline  # noqa: F401
     from onnxocr_ray_spark.sources import files  # noqa: F401

@@ -326,3 +326,17 @@ def test_dup_gram_fraction_partial_aggregates_minmax(spark, queries):
     assert "Cartesian" not in plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "substring(md5(" in plan
+
+
+def test_url_dedup_is_single_exchange_no_window(spark, queries):
+    """Keep-latest-capture must be max_by (algebraic, partial-aggregated
+    map-side) with ONE hash exchange on canonical_url — not a
+    row_number() window, which would sort every group inside the
+    shuffle. Canonicalization is codegen column work on the scan, and
+    the scan itself prunes to doc_id (the synthesis needs nothing
+    else)."""
+    plan = plan_of(queries["url_canonical_dedup"].fn(spark, SF0001))
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FileScan parquet [doc_id" in plan
