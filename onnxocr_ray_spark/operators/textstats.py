@@ -352,3 +352,118 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kw_rank") <= 3)
         .select("doc_id", "kw_rank", "word", "tf", "n_docs", "score_ppm")
     )
+
+
+# --- Gopher-rule filter verdict (the keep/drop decision layer) ---
+#
+# The Gopher / MassiveText quality pipeline (Rae et al. 2021, App. A)
+# DROPS a document when any rule fires; `text_quality`/`text_repetition`
+# report the underlying ratios, this op makes the DECISION, with a
+# reason bitmask so downstream audits can attribute every drop. All
+# rules are integer-arithmetic single-pass column expressions — the
+# filter pass costs one codegen projection over the scan, no joins, no
+# explodes, no exchanges at all.
+
+GOPHER_MIN_WORDS = 50          # doc length 50..100,000 words
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL_X10 = 30        # mean word length 3..10 chars (x10 fixed-point)
+GOPHER_MAX_MWL_X10 = 100
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and")
+GOPHER_MIN_STOPWORDS = 2       # must contain >= 2 distinct stopwords
+# symbol-to-word ratio > 0.1 drops (hash marks + ellipses play the
+# symbol class, as in the paper)
+
+
+@register(
+    "gopher_filter",
+    priority=12,  # new in r5 -> into the driver's checked window
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id,
+             trim(text, ' ') AS s,
+             string_split(trim(text, ' '), ' ') AS ws
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             (length(replace(s, ' ', '')) * 10) // len(ws) AS mwl_x10,
+             (length(s) - length(replace(s, '#', '')))
+               + (length(s) - length(replace(s, '...', ''))) // 3
+               AS n_symbols,
+             (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END)
+               AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_words, mwl_x10,
+           CAST(
+             CASE WHEN n_words < {GOPHER_MIN_WORDS}
+                    OR n_words > {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END
+             + CASE WHEN mwl_x10 < {GOPHER_MIN_MWL_X10}
+                      OR mwl_x10 > {GOPHER_MAX_MWL_X10} THEN 2 ELSE 0 END
+             + CASE WHEN n_symbols * 10 > n_words THEN 4 ELSE 0 END
+             + CASE WHEN n_stop < {GOPHER_MIN_STOPWORDS} THEN 8 ELSE 0 END
+             AS BIGINT) AS reasons,
+           (CASE WHEN n_words < {GOPHER_MIN_WORDS}
+                   OR n_words > {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END
+            + CASE WHEN mwl_x10 < {GOPHER_MIN_MWL_X10}
+                     OR mwl_x10 > {GOPHER_MAX_MWL_X10} THEN 2 ELSE 0 END
+            + CASE WHEN n_symbols * 10 > n_words THEN 4 ELSE 0 END
+            + CASE WHEN n_stop < {GOPHER_MIN_STOPWORDS} THEN 8 ELSE 0 END
+           ) = 0 AS keep
+    FROM m
+    """,
+    doc=(
+        "training-data op: Gopher/MassiveText filter VERDICT — per-doc "
+        "keep/drop with a reason bitmask (1=length, 2=mean-word-length, "
+        "4=symbol-ratio, 8=stopwords); integer fixed-point rules, one "
+        "codegen projection, zero exchanges"
+    ),
+)
+def gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision layer: keep iff no Gopher rule fires.
+
+    Every rule is integer arithmetic (x10 fixed-point for mean word
+    length) so both engines agree bit-for-bit with no float rounding.
+    Plan shape: a single whole-stage-codegen projection over the
+    pruned scan — the 100 TB filter pass is embarrassingly parallel
+    with ZERO exchanges (machine-asserted in test_plans), which is why
+    production pipelines run it before any shuffle-bearing dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.trim(F.col("text"))
+    ws = F.split(s, " ")
+    n_words = F.size(ws).cast("long")
+    mwl_x10 = F.expr(
+        "(length(replace(trim(text), ' ', '')) * 10) "
+        "DIV size(split(trim(text), ' '))"
+    )
+    n_symbols = (
+        F.length(s) - F.length(F.regexp_replace(s, "#", ""))
+        + (F.length(s) - F.length(F.replace(s, F.lit("..."), F.lit("")))).cast(
+            "long"
+        ) / F.lit(3)
+    ).cast("long")
+    n_stop = sum(
+        F.array_contains(ws, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+    r1 = (n_words < GOPHER_MIN_WORDS) | (n_words > GOPHER_MAX_WORDS)
+    r2 = (mwl_x10 < GOPHER_MIN_MWL_X10) | (mwl_x10 > GOPHER_MAX_MWL_X10)
+    r4 = n_symbols * 10 > n_words
+    r8 = n_stop < GOPHER_MIN_STOPWORDS
+    reasons = (
+        r1.cast("long")
+        + r2.cast("long") * 2
+        + r4.cast("long") * 4
+        + r8.cast("long") * 8
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl_x10.alias("mwl_x10"),
+        reasons.alias("reasons"),
+        (reasons == 0).alias("keep"),
+    )
