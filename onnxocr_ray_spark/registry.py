@@ -80,6 +80,7 @@ def load_all() -> Dict[str, Query]:
         dedup,
         graph,
         multimodal,
+        pdfparse,
         relational,
         relational2,
         relational3,
