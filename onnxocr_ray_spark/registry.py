@@ -92,7 +92,7 @@ def load_all() -> Dict[str, Query]:
         web,
     )
     from onnxocr_ray_spark import entrypipeline  # noqa: F401
-    from onnxocr_ray_spark.sources import files  # noqa: F401
+    from onnxocr_ray_spark.sources import files, warc  # noqa: F401
 
     ordered = sorted(
         QUERIES.items(), key=lambda kv: (kv[1].priority, kv[1].sql is None)

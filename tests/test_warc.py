@@ -1,0 +1,89 @@
+"""WARC container source: synthesis + structural parse invariants.
+
+The oracle-alignment suite runs `warc_ingest_roundtrip` vs DuckDB; these
+pin the adversarial properties a crawl archive actually exercises.
+"""
+
+import gzip
+
+import pytest
+
+from onnxocr_ray_spark.sources.warc import (
+    URI_PREFIX,
+    parse_warc_blob,
+    read_warc,
+    synth_record_bytes,
+    synth_warc,
+    warc_records,
+)
+
+ADVERSARIAL = [
+    "",
+    "plain ascii",
+    "WARC/1.0\r\nContent-Length: 99\r\n\r\nfake record header inside payload",
+    "HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n\r\nnested http lookalike",
+    "unicode: éß中文 \U0001f600 mixed",
+    "\r\n\r\n\r\n blank-line soup \r\n\r\n",
+    "x" * 100000,
+]
+
+
+def _blob(texts, base=1000):
+    return b"".join(synth_record_bytes(base + i, t) for i, t in enumerate(texts))
+
+
+def test_roundtrip_payloads_and_headers():
+    recs = parse_warc_blob(_blob(ADVERSARIAL))
+    assert len(recs) == len(ADVERSARIAL)
+    for i, (t, r) in enumerate(zip(ADVERSARIAL, recs)):
+        assert r["payload"].decode("utf-8") == t
+        assert r["uri"] == f"{URI_PREFIX}{1000 + i}"
+        assert r["http_status"] == 200
+        assert r["warc_type"] == "response"
+
+
+def test_synthesis_is_byte_deterministic():
+    assert _blob(ADVERSARIAL) == _blob(ADVERSARIAL)  # mtime=0 pin
+
+
+def test_plain_uncompressed_warc_parses_too():
+    plain = b"".join(gzip.decompress(synth_record_bytes(i, f"doc {i}")) for i in range(3))
+    recs = parse_warc_blob(plain)
+    assert [r["payload"] for r in recs] == [b"doc 0", b"doc 1", b"doc 2"]
+
+
+def test_truncated_blob_yields_walked_prefix():
+    blob = _blob(ADVERSARIAL)
+    recs = parse_warc_blob(blob[: len(blob) // 2])
+    assert 0 < len(recs) < len(ADVERSARIAL)  # no exception, partial result
+
+
+def test_garbage_is_not_fatal():
+    assert parse_warc_blob(b"not a warc at all") == []
+    assert parse_warc_blob(b"") == []
+
+
+def test_spark_roundtrip_and_shuffle_free_plan(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ADVERSARIAL)], "doc_id long, text string"
+    )
+    recs = warc_records(synth_warc(docs))
+    plan = recs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # chained mapInPandas over the scan
+    got = {r["doc_id"]: r for r in recs.collect()}
+    for i, t in enumerate(ADVERSARIAL):
+        assert got[i]["payload"] == t
+        assert got[i]["payload_len"] == len(t.encode("utf-8"))
+
+
+def test_read_warc_pages_shape(spark, tmp_path):
+    (tmp_path / "seg-00000.warc.gz").write_bytes(_blob(["alpha", "beta"], base=7))
+    (tmp_path / "ignored.txt").write_bytes(b"nope")
+    pages = read_warc(spark, str(tmp_path))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert set(rows) == {f"{URI_PREFIX}7", f"{URI_PREFIX}8"}
+    assert bytes(rows[f"{URI_PREFIX}7"]["html"]) == b"alpha"
+    assert rows[f"{URI_PREFIX}7"]["warc_ts"] is not None
+    assert pages.schema.simpleString() == (
+        "struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>"
+    )
