@@ -77,6 +77,7 @@ def register(name: str, sql: Optional[str], doc: str, priority: int = 50):
 def load_all() -> Dict[str, Query]:
     """Import every module that registers queries, then return the registry."""
     from onnxocr_ray_spark.operators import (  # noqa: F401
+        bloom,
         dedup,
         graph,
         multimodal,
