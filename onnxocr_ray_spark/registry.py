@@ -82,6 +82,7 @@ def load_all() -> Dict[str, Query]:
         graph,
         multimodal,
         pdfparse,
+        pii,
         relational,
         relational2,
         relational3,
