@@ -467,3 +467,55 @@ def gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         reasons.alias("reasons"),
         (reasons == 0).alias("keep"),
     )
+
+
+# --- corpus vocabulary (Zipf table) ---
+
+@register(
+    "vocab_topk",
+    priority=16,  # new this round: into the checked window
+    sql="""
+    SELECT word, tf, df,
+           row_number() OVER (ORDER BY tf DESC, word) AS rank
+    FROM (
+        SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    )
+    ORDER BY tf DESC, word
+    LIMIT 100
+    """,
+    doc=(
+        "training-data op: corpus vocabulary table — term frequency, "
+        "document frequency, Zipf rank for the top-100 tokens. The "
+        "classic wordcount plan: explode -> partial-agg -> one shuffle; "
+        "the global top-k is TakeOrderedAndProject (a bounded per-"
+        "partition heap merged on the driver), NOT a full sort shuffle — "
+        "at 10^12 tokens only 100 rows ever leave the aggregation."
+    ),
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = words.groupBy("word").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    top = vocab.orderBy(F.desc("tf"), F.asc("word")).limit(100)
+    return top.select(
+        "word", "tf", "df",
+        F.row_number()
+        .over(W.orderBy(F.desc("tf"), F.asc("word")))
+        .cast("long")
+        .alias("rank"),
+    )
