@@ -353,3 +353,28 @@ def test_gopher_filter_is_pure_projection(spark, queries):
     assert "Join" not in plan
     # the leading '*' marks the projection as whole-stage-codegen'd
     assert plan.lstrip().startswith("*("), plan[:200]
+
+
+def test_vocab_topk_is_heap_topk_not_full_sort(spark, queries):
+    """The global top-100 must plan as TakeOrderedAndProject (bounded
+    per-partition heap merged on the driver), never a full Sort over a
+    range Exchange — at 10^12 tokens a rangepartitioning sort of the
+    vocabulary is the difference between 100 rows and the whole
+    vocabulary crossing the wire."""
+    plan = plan_of(queries["vocab_topk"].fn(spark, SF0001))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_bloom_build_state_is_bounded_and_partial_aggregated(spark):
+    """The filter build must partial-aggregate the bit words map-side
+    (bit_or is algebraic) so only <= m/32 word rows cross its exchange
+    regardless of key count. (The registered query's returned plan holds
+    only the probe — the build is collected into the array literal — so
+    the build plan is asserted directly; the probe side's no-join/no-
+    shuffle property is asserted in test_bloom.py.)"""
+    from onnxocr_ray_spark.operators.bloom import bloom_build
+
+    df = spark.createDataFrame([(k,) for k in range(100)], "key long")
+    plan = plan_of(bloom_build(df, "key"))
+    assert "partial_bit_or" in plan, plan
