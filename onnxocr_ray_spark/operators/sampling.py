@@ -162,3 +162,85 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# --- sequence packing (concat-chunk pretraining batches) ---
+
+SEQ_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    priority=18,  # new this round: into the checked window
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {N_SHARDS} AS shard,
+               CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+                    ELSE length(trim(text, ' '))
+                         - length(replace(trim(text, ' '), ' ', '')) + 1
+               END AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {SEQ_BUDGET} AS BIGINT) AS seq_id,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             % {SEQ_BUDGET} AS BIGINT) AS offset_in_seq
+    FROM toks
+    ORDER BY doc_id
+    """,
+    doc=(
+        "training-data op: sequence packing — concat-chunk each shard's "
+        "token stream into fixed-budget training sequences (GPT-style "
+        "packing: docs concatenate in doc_id order, a doc may straddle a "
+        "sequence boundary; every doc gets its shard-local start offset, "
+        "sequence id, and in-sequence offset). The cumulative sum runs "
+        "PER SHARD (hash-mod, the shard_manifest expression), so the "
+        "window is one hash exchange with N_SHARDS-way parallelism — no "
+        "global single-partition sort."
+    ),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_tokens = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(
+            F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+        )
+        .cast("long")
+    )
+    shard = (
+        F.conv(
+            F.substring(portable_md5(F.col("doc_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long")
+        % N_SHARDS
+    )
+    toks = docs.select(
+        "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.cast("long").alias("start_offset"),
+        F.floor(start / SEQ_BUDGET).cast("long").alias("seq_id"),
+        (start % SEQ_BUDGET).cast("long").alias("offset_in_seq"),
+    ).orderBy("doc_id")

@@ -630,3 +630,90 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --- semantic dedup (SemDeDup-style) ---
+
+_SEMDEDUP_TAU = 0.40  # corpus-dependent; sized so the synthetic corpus
+                      # has real drops (18-19 across SFs), like the
+                      # deliberately-small bloom m
+
+_PAIR_COS_SQL = _COS_SQL.replace("a.v", "ea.v").replace("b.v", "eb.v")
+
+
+@register(
+    "dedup_semantic",
+    priority=17,  # new this round: into the checked window
+    sql=f"""
+    WITH e AS ({_E_SQL}),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_K}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_CCOS_SQL} DESC, c.cid) AS rn
+        FROM e a, c) WHERE rn = 1
+    ),
+    drops AS (
+      SELECT DISTINCT sb.vec_id
+      FROM assign sa
+      JOIN assign sb ON sa.cid = sb.cid AND sa.vec_id < sb.vec_id
+      JOIN e ea ON ea.vec_id = sa.vec_id
+      JOIN e eb ON eb.vec_id = sb.vec_id
+      WHERE round({_PAIR_COS_SQL}, 6) >= {_SEMDEDUP_TAU}
+    )
+    SELECT s.vec_id, s.cid, d.vec_id IS NULL AS keep
+    FROM assign s LEFT JOIN drops d ON s.vec_id = d.vec_id
+    ORDER BY s.vec_id
+    """,
+    doc=(
+        "training-data op: SemDeDup-style semantic dedup — assign every "
+        "embedding to its nearest coarse centroid (the IVF skinny argmax), "
+        "then inside each cluster drop any item with a lower-indexed "
+        "neighbor at cosine >= tau (the SemDeDup keep rule). Pairwise "
+        "cosine happens ONLY within a cluster: the self-join key is cid, "
+        "so candidates are bounded by cluster size (K grows ~sqrt(n) via "
+        "the trained-IVF path, keeping clusters bounded at corpus scale) "
+        "instead of the all-pairs n^2."
+    ),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked embedding dedup keeping one representative per
+    semantic neighborhood (SemDeDup, Abbas et al. 2023 semantics with a
+    deterministic lowest-id keep rule).
+
+    Scale shape: assignment is the ann_ivf_probe skinny argmax (the fat
+    vector never enters that shuffle); the pairwise verify shuffles on
+    cid only, and each cluster's candidate block is cluster_size^2 —
+    bounded by construction when K tracks corpus size. No global
+    pairwise join exists anywhere in the plan.
+    """
+    e = _vecs(spark, sf_dir)
+    c = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    member = _ivf_assign(e, c).join(e.select("vec_id", "v"), "vec_id")
+    # one LEFT join decides keep directly: x is dropped iff a LOWER-id
+    # neighbor above tau shares its cluster — so the member relation is
+    # scanned exactly twice (the two join sides), with no third pass to
+    # stitch a drop list back on
+    a = member.select("vec_id", "cid", F.col("v").alias("va"))
+    b = member.select(
+        F.col("vec_id").alias("ib"),
+        F.col("cid").alias("cid_b"),
+        F.col("v").alias("vb"),
+    )
+    cos = F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+    matched = a.join(
+        b,
+        (F.col("cid") == F.col("cid_b"))
+        & (F.col("ib") < F.col("vec_id"))
+        & (cos >= F.lit(_SEMDEDUP_TAU)),
+        "left",
+    )
+    return (
+        matched.groupBy("vec_id", "cid")
+        .agg((F.count("ib") == 0).alias("keep"))
+        .orderBy("vec_id")
+    )

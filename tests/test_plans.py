@@ -378,3 +378,29 @@ def test_bloom_build_state_is_bounded_and_partial_aggregated(spark):
     df = spark.createDataFrame([(k,) for k in range(100)], "key long")
     plan = plan_of(bloom_build(df, "key"))
     assert "partial_bit_or" in plan, plan
+
+
+def test_dedup_semantic_pairs_are_cluster_blocked(spark, queries):
+    """The pairwise cosine verify must join on cid (cluster-blocked, a
+    hash join), never a CartesianProduct over the corpus; the only
+    nested-loop allowed is the K-row broadcast centroid assignment."""
+    plan = plan_of(queries["dedup_semantic"].fn(spark, SF0001))
+    assert "CartesianProduct" not in plan
+    # the only nested loops are the K-row broadcast centroid assignments
+    # (one per self-join side — the assign subtree is recomputed, which
+    # is cheaper than caching a corpus-sized relation)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    # the pairwise stage itself must key on cid, never loop over the corpus
+    assert "SortMergeJoin [cid" in plan or "ShuffledHashJoin [cid" in plan, plan
+
+
+def test_pack_sequences_windows_per_shard(spark, queries):
+    """The packing cumsum must run per hash shard — one hashpartitioning
+    exchange on shard with N_SHARDS-way parallelism — not a global
+    single-partition window (the classic packing scalability mistake).
+    The sole rangepartitioning is the presentation-order sort of the
+    final 6-column rows, after the window."""
+    plan = plan_of(queries["pack_sequences"].fn(spark, SF0001))
+    assert "Exchange hashpartitioning(shard" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Window") == 1
