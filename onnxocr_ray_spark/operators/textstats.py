@@ -519,3 +519,90 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank"),
     )
+
+
+# --- LM fluency scoring (CCNet-style, integer-exact) ---
+
+_PPM = 1_000_000
+
+
+@register(
+    "lm_fluency_score",
+    priority=19,  # new this round: into the checked window
+    sql=f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words
+    ),
+    bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS bigram
+        FROM idx
+    ),
+    c2 AS (SELECT bigram, count(*) AS n2 FROM bg GROUP BY 1),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+    scored AS (
+        SELECT b.doc_id, (c2.n2 * {_PPM}) // c1.n1 AS ppm
+        FROM bg b JOIN c2 USING (bigram) JOIN c1 USING (w1)
+    )
+    SELECT d.doc_id,
+           count(s.ppm) AS n_bigrams,
+           CAST(CASE WHEN count(s.ppm) = 0 THEN -1
+                     ELSE sum(s.ppm) // count(s.ppm) END AS BIGINT)
+             AS fluency_ppm
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        "training-data op: corpus-LM fluency score (CCNet-style quality "
+        "signal) — train bigram conditional probabilities ON the corpus "
+        "itself, score each doc by its mean p(w2|w1). All arithmetic is "
+        "integer ppm ((n2 * 1e6) DIV n1, integer-summed), so partial "
+        "aggregation order cannot perturb the result and both engines "
+        "agree bit-for-bit — the same order-independence trick as the "
+        "IVF centroid update, applied where log-prob floats would "
+        "diverge in the last ulp."
+    ),
+)
+def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape at corpus scale: one Generate (bigram explode), two
+    count groupBys whose outputs are VOCABULARY-sized (bigram types and
+    first-word types — orders of magnitude below token count thanks to
+    map-side partial counts), two hash joins back onto the occurrence
+    stream keyed by bigram/w1, one final per-doc sum. Every exchanged
+    key is a token string, never a document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit("")
+    )
+    idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 2)))
+    bg = docs.select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    scored = (
+        bg.join(c2, "bigram")
+        .join(c1, "w1")
+        .select("doc_id", F.expr(f"(n2 * {_PPM}) DIV n1").alias("ppm"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("ppm").alias("n_bigrams"),
+            F.when(F.count("ppm") == 0, F.lit(-1))
+            .otherwise(F.expr("sum(ppm) DIV count(ppm)"))
+            .cast("long")
+            .alias("fluency_ppm"),
+        )
+        .orderBy("doc_id")
+    )
