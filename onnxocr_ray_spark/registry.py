@@ -78,6 +78,7 @@ def load_all() -> Dict[str, Query]:
     """Import every module that registers queries, then return the registry."""
     from onnxocr_ray_spark.operators import (  # noqa: F401
         bloom,
+        cdc,
         dedup,
         graph,
         multimodal,
