@@ -220,6 +220,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
     )
+    return pack_token_stream(
+        docs.select("doc_id", n_tokens.alias("n_tokens"))
+    )
+
+
+def pack_token_stream(toks: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) -> packed layout (shard, start_offset, seq_id,
+    offset_in_seq) — the reusable packing core (see pack_sequences)."""
     shard = (
         F.conv(
             F.substring(portable_md5(F.col("doc_id").cast("string")), 1, 8),
@@ -227,9 +235,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % N_SHARDS
     )
-    toks = docs.select(
-        "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
-    )
+    toks = toks.select("doc_id", shard.alias("shard"), "n_tokens")
     w = (
         W.partitionBy("shard")
         .orderBy("doc_id")
@@ -244,3 +250,67 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / SEQ_BUDGET).cast("long").alias("seq_id"),
         (start % SEQ_BUDGET).cast("long").alias("offset_in_seq"),
     ).orderBy("doc_id")
+
+
+# --- end-to-end: curation -> packed training sequences ---
+
+_CURATE_KEPT_SQL = """
+    SELECT doc_id, n_tokens FROM (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+             CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+                  ELSE length(trim(text, ' '))
+                       - length(replace(trim(text, ' '), ' ', '')) + 1
+             END AS n_tokens,
+             round(least((length(trim(text, ' '))
+                          - length(replace(trim(text, ' '), ' ', '')) + 1)
+                         / 100.0, 1.0) * 0.5
+                   + length(regexp_replace(text, '[^a-z]', '', 'g'))
+                     / greatest(length(text), 1)::DOUBLE * 0.5, 6) AS quality
+      FROM documents
+    ) WHERE doc_id = keeper AND n_tokens >= 30 AND quality >= 0.6
+"""
+
+
+@register(
+    "curate_pack_e2e",
+    priority=21,  # new this round: into the checked window
+    sql=f"""
+    WITH kept AS ({_CURATE_KEPT_SQL}),
+    toks AS (
+        SELECT doc_id, n_tokens,
+               cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {{n_shards}} AS shard
+        FROM kept
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {{budget}} AS BIGINT) AS seq_id,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             % {{budget}} AS BIGINT) AS offset_in_seq
+    FROM toks
+    ORDER BY doc_id
+    """.format(n_shards=N_SHARDS, budget=SEQ_BUDGET),
+    doc=(
+        "training-data op: the END PRODUCT query — curation (exact-dedup "
+        "survivor + token/quality gates, the curate_corpus decision) "
+        "composed with per-shard sequence packing, emitting the packed "
+        "training-sequence layout of the kept corpus. Demonstrates that "
+        "the registered operators compose as DataFrame stages with no "
+        "materialization between them: Catalyst fuses the curation "
+        "filter under the packing window's shard exchange."
+    ),
+)
+def curate_pack_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onnxocr_ray_spark.operators.relational4 import curate_corpus
+
+    kept = curate_corpus(spark, sf_dir).select("doc_id", "n_tokens")
+    return pack_token_stream(kept)
