@@ -130,3 +130,36 @@ def test_py_shingles_match_duckdb_on_arbitrary_text(texts):
     sh = {r[0]: r[3] for r in con.sql(_SH_SQL).fetchall()}
     for i, t in enumerate(texts):
         assert _py_shingles(t) == sh.get(i, []), (i, repr(t))
+
+
+# --- round-5 container formats: synthesis/parse roundtrip fuzz ---
+
+@given(st.integers(0, 2**31 - 1), st.text(max_size=4000))
+@settings(max_examples=200, deadline=None)
+def test_pdf_roundtrip_fuzz(doc_id, text):
+    """Any unicode payload survives PDF synthesis -> structural parse
+    byte-identically, with span/page counts matching the chunk rule."""
+    from onnxocr_ray_spark.operators.pdfparse import (
+        LINE_CHARS, PAGE_LINES, parse_pdf_bytes, synth_pdf_bytes)
+
+    got, n_spans, n_pages = parse_pdf_bytes(synth_pdf_bytes(doc_id, text))
+    assert got == text
+    assert n_spans == max(-(-len(text) // LINE_CHARS), 1)
+    assert n_pages == max(-(-n_spans // PAGE_LINES), 1)
+
+
+@given(st.integers(0, 2**31 - 1), st.text(max_size=4000))
+@settings(max_examples=200, deadline=None)
+def test_warc_roundtrip_fuzz(doc_id, text):
+    """Any unicode payload survives WARC synthesis -> gzip-member walk ->
+    HTTP unwrap byte-identically, incl. payloads full of record/header
+    lookalikes (the Content-Length walk must never resynchronize on
+    content)."""
+    from onnxocr_ray_spark.sources.warc import (
+        URI_PREFIX, parse_warc_blob, synth_record_bytes)
+
+    recs = parse_warc_blob(synth_record_bytes(doc_id, text))
+    assert len(recs) == 1
+    assert recs[0]["payload"].decode("utf-8") == text
+    assert recs[0]["uri"] == f"{URI_PREFIX}{doc_id}"
+    assert recs[0]["http_status"] == 200
