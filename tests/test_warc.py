@@ -87,3 +87,21 @@ def test_read_warc_pages_shape(spark, tmp_path):
     assert pages.schema.simpleString() == (
         "struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>"
     )
+
+
+def test_read_warc_feeds_extraction_pipeline(spark, tmp_path):
+    """The whole point of the source: a user points the flagship
+    extraction at a directory of .warc.gz crawl archives. The payloads
+    here are real synthesized pages so extract() produces spans."""
+    from onnxocr_ray_spark.operators.extract import extract
+    from onnxocr_ray_spark.sources.pages import pages_local
+
+    pages = pages_local([(7, "Doc 7 alpha beta", "en"), (8, "Doc 8 gamma", "en")])
+    blob = b"".join(
+        synth_record_bytes(i, html.decode("utf-8"))
+        for i, (_url, html) in zip((7, 8), pages)
+    )
+    (tmp_path / "seg.warc.gz").write_bytes(blob)
+    out = extract(read_warc(spark, str(tmp_path))).collect()
+    assert len(out) == 2
+    assert all(r["n_spans"] > 0 and r["checksum"] for r in out)
