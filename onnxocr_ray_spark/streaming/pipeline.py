@@ -476,3 +476,51 @@ def decontaminate_stream(
     from onnxocr_ray_spark.operators.dedup import decon_doc_grams
 
     return decon_doc_grams(stream).join(F.broadcast(probes), "gram_h")
+
+
+def cdc_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    baseline: DataFrame,
+    schema: Optional[str] = None,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming snapshot CDC: the online form of the batch
+    ``snapshot_diff`` registry query (operators/cdc.py) — documents of
+    the NEW corpus version arrive continuously and each micro-batch
+    classifies them against the static previous-version baseline:
+    ``added`` (key unseen in v1), ``changed`` (fingerprint differs),
+    ``unchanged``.
+
+    Same stream-static broadcast shape as ``decontaminate_stream``:
+    the baseline collapses to a (key, fp) table broadcast into every
+    micro-batch; fingerprints use the SAME portable_md5 column as batch,
+    so classifications agree bit-for-bit. State-free append mode — a
+    row's class depends only on itself plus the static side.
+
+    ``removed`` is deliberately NOT emitted here: absence is not an
+    event an arrival stream can observe; the batch ``snapshot_diff``
+    (one full-outer join) covers removals when the new snapshot is
+    complete. A production refresh runs this stream for the hot path
+    and the batch diff at snapshot-commit time.
+    """
+    from onnxocr_ray_spark.functions import portable_md5
+
+    schema = schema or "doc_id long, text string"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir).select(
+        "doc_id", portable_md5(F.col("text")).alias("fp_new")
+    )
+    base = baseline.select(
+        "doc_id", portable_md5(F.col("text")).alias("fp_base")
+    )
+    change = (
+        F.when(F.col("fp_base").isNull(), F.lit("added"))
+        .when(F.col("fp_base") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return stream.join(F.broadcast(base), "doc_id", "left").select(
+        "doc_id", change.alias("change_type")
+    )

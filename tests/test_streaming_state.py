@@ -588,3 +588,49 @@ def test_decontaminate_stream_matches_batch_hits(spark, tmpdir):
     assert any(d == 5000 for d, _ in streamed)
     # probe docs self-match
     assert any(d == 13 for d, _ in streamed)
+
+
+def test_cdc_stream_matches_batch_diff(spark, tmpdir):
+    """Streaming CDC: v2 docs arriving across micro-batches classify
+    against the static v1 baseline exactly as the batch snapshot_diff
+    does for every present key (removals are batch-only by design —
+    absence is not an arrival event)."""
+    from pyspark.sql import functions as F
+
+    from onnxocr_ray_spark.operators.cdc import snapshot_diff, snapshot_v2
+    from onnxocr_ray_spark.sources.tables import load_table
+    from onnxocr_ray_spark.streaming.pipeline import cdc_stream
+
+    v1 = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    v2 = snapshot_v2(v1).collect()
+    docs_dir = f"{tmpdir}/v2"
+    os.makedirs(docs_dir)
+    schema = "doc_id long, text string"
+    half = len(v2) // 2
+    for i, chunk in enumerate((v2[:half], v2[half:])):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            f"{docs_dir}/c{i}"
+        )
+
+    out = cdc_stream(spark, f"{docs_dir}/c*", v1, max_files_per_trigger=1)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cdc_out")
+        .option("checkpointLocation", f"{tmpdir}/cdckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = sorted(
+        (r.doc_id, r.change_type)
+        for r in spark.sql("SELECT * FROM cdc_out").collect()
+    )
+    batch = sorted(
+        (r.doc_id, r.change_type)
+        for r in snapshot_diff(v1, snapshot_v2(v1)).collect()
+        if r.change_type != "removed"
+    )
+    assert streamed == batch
+    classes = {c for _, c in streamed}
+    assert classes == {"added", "changed", "unchanged"}
