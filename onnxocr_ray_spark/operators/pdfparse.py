@@ -387,3 +387,47 @@ def pdf_extract_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (parsed
             .select("doc_id", "pdf_text", "n_spans", "n_pages")
             .orderBy("doc_id"))
+
+
+def read_pdf_dir(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
+    """Loose PDF files -> extracted rows: the crawl-archive-style src
+    function for PDF corpora (mirrors sources/warc.py::read_pdf side of
+    read_warc). Each file is one document; output carries the file URI,
+    modification time, recovered reading-order text, and layout stats.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(
+            F.col("path").alias("url"),
+            F.col("modificationTime").alias("warc_ts"),
+            F.col("content").alias("pdf"),
+        )
+    )
+
+    def gen(batches):
+        for b in batches:
+            out = {"url": [], "warc_ts": [], "pdf_text": [], "n_spans": [],
+                   "n_pages": [], "parse_ok": []}
+            for url, ts, payload in zip(b["url"], b["warc_ts"], b["pdf"]):
+                out["url"].append(url)
+                out["warc_ts"].append(ts)
+                try:
+                    text, n_spans, n_pages = parse_pdf_bytes(bytes(payload))
+                    out["pdf_text"].append(text)
+                    out["n_spans"].append(n_spans)
+                    out["n_pages"].append(n_pages)
+                    out["parse_ok"].append(True)
+                except Exception:
+                    out["pdf_text"].append(None)
+                    out["n_spans"].append(0)
+                    out["n_pages"].append(0)
+                    out["parse_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(
+        gen,
+        schema=("url string, warc_ts timestamp, pdf_text string, "
+                "n_spans long, n_pages long, parse_ok boolean"),
+    )

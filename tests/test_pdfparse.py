@@ -95,3 +95,19 @@ def test_plan_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = pdf_extract(synth_pdf(docs))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_read_pdf_dir(spark, tmp_path):
+    from onnxocr_ray_spark.operators.pdfparse import read_pdf_dir
+
+    (tmp_path / "a.pdf").write_bytes(synth_pdf_bytes(1, "alpha doc"))
+    (tmp_path / "b.pdf").write_bytes(synth_pdf_bytes(2, "beta doc"))
+    (tmp_path / "broken.pdf").write_bytes(b"%PDF-1.4 truncated")
+    (tmp_path / "ignored.txt").write_bytes(b"nope")
+    rows = {r["url"].rsplit("/", 1)[1]: r
+            for r in read_pdf_dir(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"a.pdf", "b.pdf", "broken.pdf"}
+    assert rows["a.pdf"]["pdf_text"] == "alpha doc" and rows["a.pdf"]["parse_ok"]
+    assert rows["b.pdf"]["pdf_text"] == "beta doc"
+    assert not rows["broken.pdf"]["parse_ok"]
+    assert rows["a.pdf"]["warc_ts"] is not None
