@@ -57,12 +57,26 @@ def snapshot_v2(docs: DataFrame) -> DataFrame:
 def snapshot_diff(v1: DataFrame, v2: DataFrame, key: str = "doc_id") -> DataFrame:
     """(key, change_type) for every key in either snapshot. Fingerprints
     are computed BEFORE the join so only (key, fp) crosses the wire."""
-    a = v1.select(F.col(key), portable_md5(F.col("text")).alias("fp_a"))
-    b = v2.select(F.col(key), portable_md5(F.col("text")).alias("fp_b"))
+    # presence flags, NOT fp IS NULL: md5(NULL text) is NULL, and a
+    # NULL-text row present on both sides must classify by KEY presence
+    # (the oracle's a.doc_id IS NULL), not by its null fingerprint
+    a = v1.select(
+        F.col(key),
+        portable_md5(F.col("text")).alias("fp_a"),
+        F.lit(True).alias("in_a"),
+    )
+    b = v2.select(
+        F.col(key),
+        portable_md5(F.col("text")).alias("fp_b"),
+        F.lit(True).alias("in_b"),
+    )
     j = a.join(b, key, "full_outer")
     change = (
-        F.when(F.col("fp_a").isNull(), F.lit("added"))
-        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("removed"))
+        # SQL null semantics on purpose: fp_a <> fp_b is NULL when either
+        # text is NULL, falling through to 'unchanged' — identical to the
+        # oracle's CASE
         .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )

@@ -327,6 +327,17 @@ PDF_TEXT_SCHEMA = ("doc_id long, pdf_text string, n_spans long, "
                    "n_pages long, parse_ok boolean")
 
 
+def _safe_parse(payload) -> Tuple[Optional[str], int, int, bool]:
+    """(pdf_text, n_spans, n_pages, parse_ok) — the shared per-payload
+    row contract of pdf_extract and read_pdf_dir; malformed payloads
+    yield a failure row instead of failing the task."""
+    try:
+        text, n_spans, n_pages = parse_pdf_bytes(bytes(payload))
+        return text, n_spans, n_pages, True
+    except Exception:
+        return None, 0, 0, False
+
+
 def pdf_extract(pdfs: DataFrame, pdf_col: str = "pdf") -> DataFrame:
     """(doc_id, pdf:binary) -> reading-order text + layout stats.
 
@@ -339,18 +350,12 @@ def pdf_extract(pdfs: DataFrame, pdf_col: str = "pdf") -> DataFrame:
             out = {"doc_id": [], "pdf_text": [], "n_spans": [],
                    "n_pages": [], "parse_ok": []}
             for doc_id, payload in zip(pdf_batch["doc_id"], pdf_batch[pdf_col]):
+                text, n_spans, n_pages, ok = _safe_parse(payload)
                 out["doc_id"].append(int(doc_id))
-                try:
-                    text, n_spans, n_pages = parse_pdf_bytes(bytes(payload))
-                    out["pdf_text"].append(text)
-                    out["n_spans"].append(n_spans)
-                    out["n_pages"].append(n_pages)
-                    out["parse_ok"].append(True)
-                except Exception:
-                    out["pdf_text"].append(None)
-                    out["n_spans"].append(0)
-                    out["n_pages"].append(0)
-                    out["parse_ok"].append(False)
+                out["pdf_text"].append(text)
+                out["n_spans"].append(n_spans)
+                out["n_pages"].append(n_pages)
+                out["parse_ok"].append(ok)
             yield pd.DataFrame(out)
 
     return pdfs.mapInPandas(gen, schema=PDF_TEXT_SCHEMA)
@@ -411,19 +416,13 @@ def read_pdf_dir(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFra
             out = {"url": [], "warc_ts": [], "pdf_text": [], "n_spans": [],
                    "n_pages": [], "parse_ok": []}
             for url, ts, payload in zip(b["url"], b["warc_ts"], b["pdf"]):
+                text, n_spans, n_pages, ok = _safe_parse(payload)
                 out["url"].append(url)
                 out["warc_ts"].append(ts)
-                try:
-                    text, n_spans, n_pages = parse_pdf_bytes(bytes(payload))
-                    out["pdf_text"].append(text)
-                    out["n_spans"].append(n_spans)
-                    out["n_pages"].append(n_pages)
-                    out["parse_ok"].append(True)
-                except Exception:
-                    out["pdf_text"].append(None)
-                    out["n_spans"].append(0)
-                    out["n_pages"].append(0)
-                    out["parse_ok"].append(False)
+                out["pdf_text"].append(text)
+                out["n_spans"].append(n_spans)
+                out["n_pages"].append(n_pages)
+                out["parse_ok"].append(ok)
             yield pd.DataFrame(out)
 
     return raw.mapInPandas(

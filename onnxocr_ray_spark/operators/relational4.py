@@ -106,10 +106,9 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- end-to-end corpus curation (the training-data keep/drop pipeline) ---
 
-@register(
-    "curate_corpus",
-    sql="""
-    WITH scored AS (
+# the curation decision, shared verbatim with curate_pack_e2e's oracle
+# (operators/sampling.py) so the two queries cannot drift apart
+CURATE_SCORED_SQL = """
       SELECT doc_id, lang,
              min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
              CASE WHEN length(trim(text, ' ')) = 0 THEN 0
@@ -120,10 +119,17 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + length(regexp_replace(text, '[^a-z]', '', 'g'))
                      / greatest(length(text), 1)::DOUBLE * 0.5, 6) AS quality
       FROM documents
-    )
+"""
+CURATE_KEEP_PRED = "doc_id = keeper AND n_tokens >= 30 AND quality >= 0.6"
+
+
+@register(
+    "curate_corpus",
+    sql=f"""
+    WITH scored AS ({CURATE_SCORED_SQL})
     SELECT doc_id, lang, n_tokens, quality
     FROM scored
-    WHERE doc_id = keeper AND n_tokens >= 30 AND quality >= 0.6
+    WHERE {CURATE_KEEP_PRED}
     """,
     doc=(
         "training-data op: end-to-end corpus curation — exact-dedup survivor "

@@ -254,22 +254,16 @@ def pack_token_stream(toks: DataFrame) -> DataFrame:
 
 # --- end-to-end: curation -> packed training sequences ---
 
-_CURATE_KEPT_SQL = """
-    SELECT doc_id, n_tokens FROM (
-      SELECT doc_id,
-             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
-             CASE WHEN length(trim(text, ' ')) = 0 THEN 0
-                  ELSE length(trim(text, ' '))
-                       - length(replace(trim(text, ' '), ' ', '')) + 1
-             END AS n_tokens,
-             round(least((length(trim(text, ' '))
-                          - length(replace(trim(text, ' '), ' ', '')) + 1)
-                         / 100.0, 1.0) * 0.5
-                   + length(regexp_replace(text, '[^a-z]', '', 'g'))
-                     / greatest(length(text), 1)::DOUBLE * 0.5, 6) AS quality
-      FROM documents
-    ) WHERE doc_id = keeper AND n_tokens >= 30 AND quality >= 0.6
-"""
+# derived from the registered curation SQL itself (no hand-copy to drift)
+from onnxocr_ray_spark.operators.relational4 import (  # noqa: E402
+    CURATE_KEEP_PRED,
+    CURATE_SCORED_SQL,
+)
+
+_CURATE_KEPT_SQL = (
+    f"SELECT doc_id, n_tokens FROM ({CURATE_SCORED_SQL}) "
+    f"WHERE {CURATE_KEEP_PRED}"
+)
 
 
 @register(

@@ -112,12 +112,10 @@ def _split_members(blob: bytes) -> Iterator[bytes]:
     i, n = 0, len(blob)
     while i < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        data = d.decompress(view[i:])
-        while not d.eof and not d.unconsumed_tail:
-            tail = d.decompress(b"")
-            if not tail:
-                break
-            data += tail
+        try:
+            data = d.decompress(view[i:])
+        except zlib.error:
+            return  # corrupt tail after valid members: keep walked prefix
         yield data
         if not d.eof:  # truncated member: stop rather than loop forever
             return
@@ -174,12 +172,21 @@ def parse_warc_blob(blob: bytes) -> List[dict]:
             }
             if (headers.get("content-type", "").startswith("application/http")
                     and b"\r\n\r\n" in body):
-                sep = body.index(b"\r\n\r\n")
-                status_line = body[: body.index(b"\r\n")]
-                http_headers = _parse_headers(body[:sep])
-                plen = int(http_headers.get("content-length", sep))
-                rec["http_status"] = int(status_line.split()[1])
-                rec["payload"] = body[sep + 4 : sep + 4 + plen]
+                # a dirty HTTP envelope must not cost the blob (or even the
+                # record): fall back to the raw body on any parse failure
+                try:
+                    sep = body.index(b"\r\n\r\n")
+                    status_line = body[: body.index(b"\r\n")]
+                    http_headers = _parse_headers(body[:sep])
+                    # no Content-Length (e.g. chunked): take the whole rest
+                    plen = int(
+                        http_headers.get("content-length", len(body) - sep - 4)
+                    )
+                    rec["http_status"] = int(status_line.split()[1])
+                    rec["payload"] = body[sep + 4 : sep + 4 + plen]
+                except (ValueError, IndexError):
+                    rec["http_status"] = None
+                    rec["payload"] = body
             out.append(rec)
     return out
 
@@ -244,10 +251,13 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc.gz") -> DataFr
                 for r in recs:
                     if r["warc_type"] != "response":
                         continue
+                    try:  # a malformed WARC-Date must not fail the task
+                        ts = (pd.Timestamp(r["warc_date"].rstrip("Z"))
+                              if r["warc_date"] else None)
+                    except ValueError:
+                        ts = None
                     rows["url"].append(r["uri"])
-                    rows["warc_ts"].append(
-                        pd.Timestamp(r["warc_date"].rstrip("Z"))
-                        if r["warc_date"] else None)
+                    rows["warc_ts"].append(ts)
                     rows["html"].append(r["payload"])
             yield pd.DataFrame(rows)
 

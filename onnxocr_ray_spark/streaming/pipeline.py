@@ -513,11 +513,15 @@ def cdc_stream(
     stream = reader.parquet(docs_dir).select(
         "doc_id", portable_md5(F.col("text")).alias("fp_new")
     )
+    # presence flag, not fp IS NULL: a NULL-text baseline row must read
+    # as "present" (same null contract as the batch snapshot_diff)
     base = baseline.select(
-        "doc_id", portable_md5(F.col("text")).alias("fp_base")
+        "doc_id",
+        portable_md5(F.col("text")).alias("fp_base"),
+        F.lit(True).alias("in_base"),
     )
     change = (
-        F.when(F.col("fp_base").isNull(), F.lit("added"))
+        F.when(F.col("in_base").isNull(), F.lit("added"))
         .when(F.col("fp_base") != F.col("fp_new"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )

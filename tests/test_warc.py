@@ -105,3 +105,45 @@ def test_read_warc_feeds_extraction_pipeline(spark, tmp_path):
     out = extract(read_warc(spark, str(tmp_path))).collect()
     assert len(out) == 2
     assert all(r["n_spans"] > 0 and r["checksum"] for r in out)
+
+
+def test_dirty_record_costs_only_itself_not_the_blob():
+    """Review finding: a record with a broken HTTP envelope (bad status
+    line / unparsable Content-Length) must degrade to a raw-body record
+    while the blob's OTHER records parse normally."""
+    good1 = synth_record_bytes(1, "good one")
+    dirty_http = b"HTTP/1.1\r\nContent-Length: abc\r\n\r\nbody here"
+    hdr = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://crawl.example/doc/2\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(dirty_http)}\r\n\r\n"
+    ).encode()
+    import gzip as _gz
+    dirty = _gz.compress(hdr + dirty_http + b"\r\n\r\n", mtime=0)
+    good2 = synth_record_bytes(3, "good two")
+    recs = parse_warc_blob(good1 + dirty + good2)
+    assert [r["payload"] for r in recs] == [b"good one", dirty_http, b"good two"]
+    assert recs[1]["http_status"] is None  # degraded, not dropped
+
+
+def test_missing_content_length_takes_rest_of_body():
+    """Chunked-style responses (no Content-Length) must keep the whole
+    body, not a header-offset-sized slice."""
+    body = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + b"x" * 500
+    hdr = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://crawl.example/doc/4\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    import gzip as _gz
+    recs = parse_warc_blob(_gz.compress(hdr + body + b"\r\n\r\n", mtime=0))
+    assert recs[0]["payload"] == b"x" * 500
+    assert recs[0]["http_status"] == 200
+
+
+def test_corrupt_gzip_tail_keeps_walked_prefix():
+    blob = _blob(["alpha", "beta"]) + b"GARBAGE-NOT-GZIP"
+    recs = parse_warc_blob(blob)
+    assert [r["payload"] for r in recs] == [b"alpha", b"beta"]
