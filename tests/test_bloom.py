@@ -68,3 +68,55 @@ def test_probe_is_projection_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert plan.lstrip().startswith("*(")  # codegen'd project end to end
+
+
+# --- semantic-dedup skew stress (same file: small plan/scale guards) ---
+
+def test_dedup_semantic_survives_one_giant_cluster(spark):
+    """Boilerplate corpora funnel thousands of near-identical embeddings
+    into ONE cluster — the worst case for cluster-blocked pairwise
+    verify (candidates ~ cluster_size^2). 2k same-direction vectors must
+    complete promptly with the exact SemDeDup outcome: every member
+    except the lowest id dropped."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from onnxocr_ray_spark.operators.similarity import (
+        _SEMDEDUP_TAU,
+        _ivf_assign,
+    )
+    from onnxocr_ray_spark.functions import cosine_sim
+
+    n, dim = 2000, 8
+    # vectors = e1 + tiny deterministic jitter on e2 (cosine ~ 1.0)
+    rows = [(i, [1.0, (i % 97) * 1e-4] + [0.0] * (dim - 2)) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    c = e.filter(F.col("vec_id") < 1).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    member = _ivf_assign(e, c).join(e, "vec_id")
+    a = member.select("vec_id", "cid", F.col("v").alias("va"))
+    b = member.select(
+        F.col("vec_id").alias("ib"),
+        F.col("cid").alias("cid_b"),
+        F.col("v").alias("vb"),
+    )
+    cos = F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+    t0 = time.time()
+    kept = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b"))
+            & (F.col("ib") < F.col("vec_id"))
+            & (cos >= F.lit(_SEMDEDUP_TAU)),
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg((F.count("ib") == 0).alias("keep"))
+        .filter("keep")
+        .collect()
+    )
+    wall = time.time() - t0
+    assert [r.vec_id for r in kept] == [0]  # exactly the lowest id survives
+    assert wall < 120, f"giant-cluster pairwise took {wall:.1f}s"
