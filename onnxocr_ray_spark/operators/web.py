@@ -165,3 +165,56 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- per-host crawl budget (domain spam control) ---
+
+_N_HOSTS = 37     # deterministic synthetic host spread (no external data)
+_HOST_CAP = 5     # keep top-N docs per host
+
+
+@register(
+    "host_cap",
+    priority=22,  # new this round: into the checked window
+    sql=f"""
+    SELECT host, doc_id, n_chars, rk FROM (
+        SELECT 'h' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) || '.example.org'
+                 AS host,
+               doc_id, n_chars,
+               row_number() OVER (
+                 PARTITION BY doc_id % {_N_HOSTS}
+                 ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= {_HOST_CAP}
+    ORDER BY host, rk
+    """,
+    doc=(
+        "training-data op: per-host crawl budget — cap documents per "
+        "domain at N, keeping the highest-quality (longest) ones: the "
+        "RefinedWeb-style spam-control rule that stops one boilerplate "
+        "farm from dominating the corpus. Ranks are a map-side "
+        "WindowGroupLimit (plan-asserted): each task pre-prunes to its "
+        "local top-N per host before the single hash exchange, so a "
+        "million-page domain contributes N rows to the shuffle, not a "
+        "million."
+    ),
+)
+def host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hkey = F.col("doc_id") % _N_HOSTS
+    host = F.concat(
+        F.lit("h"), hkey.cast("string"), F.lit(".example.org")
+    )
+    w = W.partitionBy(hkey).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select(
+            host.alias("host"),
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _HOST_CAP)
+        .orderBy("host", "rk")
+    )

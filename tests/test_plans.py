@@ -404,3 +404,11 @@ def test_pack_sequences_windows_per_shard(spark, queries):
     assert "Exchange hashpartitioning(shard" in plan
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Window") == 1
+
+
+def test_host_cap_is_group_limited(spark, queries):
+    """The per-host top-N must plan as WindowGroupLimit (map-side
+    pre-prune before the exchange) — a hot domain contributes N rows to
+    the shuffle, not its whole page count."""
+    plan = plan_of(queries["host_cap"].fn(spark, SF0001))
+    assert "WindowGroupLimit" in plan, plan
