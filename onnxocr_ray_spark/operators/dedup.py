@@ -155,9 +155,37 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, schema=schema)
 
 
+# cap on the per-task shingle->digest memo: at real-corpus scale the
+# distinct-shingle count is unbounded, so the memo stops inserting (and
+# keeps computing directly) past this many entries — bounded memory,
+# same output (r6 optimization, guide §4.5)
+_MEMO_CAP = 1 << 20
+
+
 def _signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles, bands) — MinHash signatures + LSH band hashes,
-    computed Python-side in one Arrow pass (see speed note above)."""
+    computed Python-side in one Arrow pass (see speed note above).
+
+    r6 kernel (same bits, ~7x less CPU — OPTIMIZATION_r06.md):
+
+    - ``shingles`` is emitted DEDUPLICATED (first-occurrence order). The
+      only consumer of the column is the exact-Jaccard verify, which is
+      set-semantics on both engines (Spark ``array_intersect``/``size``;
+      the oracle applies ``list_distinct`` explicitly), and the MinHash
+      min is unaffected by duplicates — so signatures, bands and the
+      final rows are bit-identical while the persisted/shuffled arrays
+      shrink ~25% and each shingle hashes once per doc.
+    - one md5 STATE per seed pre-fed with the ``"<seed>|"`` prefix;
+      per shingle the state is ``.copy()``-ed and fed the shingle bytes
+      (incremental hashing: identical digest to ``md5(f"{seed}|{x}")``).
+    - mins are taken over 16-byte digests, hex-encoded once per
+      signature: hex is byte-order-preserving (``0..9a..f`` is ASCII-
+      and value-ordered), so min-over-digests == min-over-hex.
+    - a per-task memo (capped, see ``_MEMO_CAP``) reuses digests of
+      shingles repeated across documents — boilerplate-heavy corpora
+      hash each distinct shingle once per task instead of once per
+      occurrence.
+    """
     import hashlib
 
     import pandas as pd
@@ -176,20 +204,36 @@ def _signed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gen(batches):
         md5 = lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+        prefixes = [
+            hashlib.md5(f"{seed}|".encode("utf-8")) for seed in range(MINHASH_K)
+        ]
+        memo: dict = {}
         for pdf in batches:
             out_id, out_sh, out_bands = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 sh = _py_shingles(text)
                 if not sh:
                     continue
-                sigs = [
-                    min(md5(f"{seed}|{x}") for x in sh) for seed in range(MINHASH_K)
-                ]
+                uniq = list(dict.fromkeys(sh))
+                digs = []
+                for s in uniq:
+                    d = memo.get(s)
+                    if d is None:
+                        sb = s.encode("utf-8")
+                        d = []
+                        for p in prefixes:
+                            h = p.copy()
+                            h.update(sb)
+                            d.append(h.digest())
+                        if len(memo) < _MEMO_CAP:
+                            memo[s] = d
+                    digs.append(d)
+                sigs = [m.hex() for m in map(min, zip(*digs))]
                 bands = [
                     md5(sigs[2 * b] + sigs[2 * b + 1]) for b in range(LSH_BANDS)
                 ]
                 out_id.append(int(doc_id))
-                out_sh.append(sh)
+                out_sh.append(uniq)
                 out_bands.append(bands)
             yield pd.DataFrame(
                 {"doc_id": out_id, "shingles": out_sh, "bands": out_bands}
@@ -219,9 +263,16 @@ _BAND_OR_SQL = " OR ".join(f"a.band{b} = b.band{b}" for b in range(LSH_BANDS))
 
 
 def _jaccard_cols(sa, sb):
+    """Exact Jaccard over two DISTINCT-element arrays.
+
+    r6: ``|A∪B|`` is computed as ``|A| + |B| − |A∩B|`` (inclusion-
+    exclusion over sets) instead of materializing ``array_union`` — one
+    O(n) hashed array pass per pair instead of two. ``_signed`` emits
+    deduplicated arrays, so ``size()`` is the set cardinality and the
+    quotient (and its round) is bit-identical to the
+    intersect/union form the oracle uses."""
     inter = F.size(F.array_intersect(sa, sb))
-    union = F.size(F.array_union(sa, sb))
-    return F.round(inter.cast("double") / union, 6)
+    return F.round(inter.cast("double") / (F.size(sa) + F.size(sb) - inter), 6)
 
 
 # --- MinHash + LSH ---
@@ -404,6 +455,212 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact n-gram Jaccard with blocking ---
 
+# triangle-tiling degree for the in-block pair enumeration: each block's
+# documents are split into _NGRAM_TILES deterministic hash groups and the
+# (group_i, group_j) i<=j tiles are counted as independent tasks, so one
+# hot (lang, length-band) block parallelizes across G(G+1)/2 tasks
+# instead of serializing on one. The cost is a Gx replication of the
+# skinny exploded stream through the one shuffle — the standard
+# all-pairs tiling trade (pair work stays identical, the straggler
+# drops ~G^2/2x). G=2 measured best at local[32]/sf1.0 (same-window A/B
+# vs G=1: 7.3 vs 11.2 s, G=4 pays more replication than it saves here);
+# production tuning: raise with cluster size / block skew.
+_NGRAM_TILES = 2
+
+
+def _ngram_block_pair_counts(ex: DataFrame) -> DataFrame:
+    """FINAL co-occurrence pair counts over the exploded
+    ``(doc_id, lang, blk, sz, sh)`` stream, hash-partitioned by
+    BLOCK TILE ``(lang, blk, ti, tj)``.
+
+    r6 replacement for the self-join + two-level count plan
+    (OPTIMIZATION_r06.md): the SortMergeJoin emitted sum(m^2)
+    buffered-row combinations (231M at sf1.0) through join machinery, a
+    115M-row partial aggregate, a ~100M-row exchange (a pair's shared
+    shingles hash to distinct shingle partitions, so map-side partial
+    aggregation deduplicated almost nothing — measured 106M partial rows
+    for 26M pairs), and a 100M-row final aggregate. Keying the shuffle
+    by the block tile instead makes every pair's entire contribution
+    land in ONE task — a document belongs to exactly one (lang, blk)
+    block, its rows are replicated to the G tiles its hash group
+    participates in, and a pair (a, b) is counted exactly once, in tile
+    ``(min(g_a, g_b), max(g_a, g_b))`` (diagonal tiles enumerate
+    same-group pairs; off-diagonal tiles enumerate only the i x j
+    rectangle). The per-task numpy count is therefore already the exact
+    final count: no self-join, no pair-keyed exchange, no downstream
+    aggregate, and only the ~26M result rows (not 100M+ partials) cross
+    the Python->JVM boundary.
+
+    Per task: rows are grouped by (lang, blk, ti, tj, shingle) with
+    factorize + one lexsort, pairs are enumerated with numpy index
+    arithmetic in ~4M-pair chunks (bounded peak memory), counted per
+    chunk with ``np.unique``, and chunk counts are merged with one
+    sort + ``np.add.reduceat`` — exact integer arithmetic throughout.
+
+    Memory/skew envelope: one task holds its tiles' exploded rows plus
+    O(distinct pairs of its tiles) count entries — the same asymptotic
+    size as the query's own output for those pairs, so any block small
+    enough for its pair list to be *returned* is small enough to count.
+    Partition count follows ``spark.sql.shuffle.partitions`` (conf, not
+    a local constant); hot-block work splits G(G+1)/2 ways via tiling.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("sz_a", T.IntegerType()),
+            T.StructField("sz_b", T.IntegerType()),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+    _PAIR_CHUNK = 4_000_000
+    G = _NGRAM_TILES
+
+    def gen(batches):
+        dfs = list(batches)
+        if not dfs:
+            return
+        pdf = pd.concat(dfs, ignore_index=True)
+        if not len(pdf):
+            return
+        # injective per-partition group code for (lang, blk, ti, tj, sh)
+        # without string concatenation: factorize the string columns and
+        # detect group boundaries component-wise after one lexsort
+        lang_c = pd.factorize(pdf["lang"])[0]
+        sh_c = pd.factorize(pdf["sh"])[0]
+        blk = pdf["blk"].to_numpy()
+        ti = pdf["ti"].to_numpy()
+        tj = pdf["tj"].to_numpy()
+        grp = pdf["grp"].to_numpy()
+        ids = pdf["doc_id"].to_numpy()
+        szs = pdf["sz"].to_numpy()
+        # within a key group: tile-i rows first, then tile-j rows, each
+        # doc_id-ascending — the rectangle enumeration below relies on it
+        is_j = (grp != ti).astype(np.int8)
+        order = np.lexsort((ids, is_j, sh_c, tj, ti, blk, lang_c))
+        lc, bc, tic, tjc, sc = (
+            lang_c[order], blk[order], ti[order], tj[order], sh_c[order]
+        )
+        ids_s, szs_s, isj_s = ids[order], szs[order], is_j[order]
+        n_rows = len(ids_s)
+        newgrp = np.r_[
+            True,
+            (lc[1:] != lc[:-1]) | (bc[1:] != bc[:-1])
+            | (tic[1:] != tic[:-1]) | (tjc[1:] != tjc[:-1])
+            | (sc[1:] != sc[:-1]),
+        ]
+        grp_id = np.cumsum(newgrp) - 1
+        sizes = np.bincount(grp_id)
+        ends = np.cumsum(sizes)
+        g_start = ends - sizes
+        arange_n = np.arange(n_rows)
+        # pair enumeration per key group, exactly once per pair:
+        # - diagonal tile (ti == tj): every ordered pair among the
+        #   group's rows (doc_id-ascending => id_a < id_b strictly);
+        # - cross tile (ti != tj): only the tile-i x tile-j rectangle —
+        #   same-group pairs belong to their diagonal tile. A doc is in
+        #   exactly one hash group, so a != b always; min/max orders the
+        #   emitted pair.
+        is_cross = tic != tjc
+        n_i = np.bincount(grp_id, weights=1 - isj_s).astype(np.int64)
+        js = g_start[grp_id] + n_i[grp_id]          # first j-row index
+        e = ends[grp_id]
+        reps = np.where(
+            is_cross,
+            np.where(isj_s.astype(bool), 0, e - js),
+            e - arange_n - 1,
+        )
+        base = np.where(is_cross, js, arange_n + 1)
+        uids, inv = np.unique(ids_s, return_inverse=True)
+        n_uniq = len(uids)
+        sz_of = np.empty(n_uniq, dtype=np.int64)
+        sz_of[inv] = szs_s
+        # enumerate pairs in chunks of ~_PAIR_CHUNK so peak memory stays
+        # bounded; per-chunk np.unique pre-counts, then one merge pass
+        cum = np.cumsum(reps) if n_rows else np.zeros(0, dtype=np.int64)
+        total_pairs = int(cum[-1]) if n_rows else 0
+        if not total_pairs:
+            return
+        n_chunks = max(1, -(-total_pairs // _PAIR_CHUNK))
+        cuts = np.searchsorted(
+            cum, np.arange(1, n_chunks) * _PAIR_CHUNK, side="left"
+        ) + 1
+        bounds = np.unique(np.r_[0, cuts, n_rows])
+        offs_all = cum - reps
+        code_parts, cnt_parts = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            reps_c = reps[lo:hi]
+            m = int(reps_c.sum())
+            if not m:
+                continue
+            a_idx = np.repeat(np.arange(lo, hi), reps_c)
+            b_idx = (
+                np.arange(m)
+                - (offs_all[a_idx] - offs_all[lo])
+                + base[a_idx]
+            )
+            av, bv = inv[a_idx], inv[b_idx]
+            code = (
+                np.minimum(av, bv).astype(np.int64) * n_uniq
+                + np.maximum(av, bv)
+            )
+            ucode, cnt = np.unique(code, return_counts=True)
+            code_parts.append(ucode)
+            cnt_parts.append(cnt.astype(np.int64))
+        if not code_parts:
+            return
+        # merge chunk counts: sort the (already per-chunk-unique) codes
+        # once and sum runs — exact integer sums, deterministic
+        codes = np.concatenate(code_parts)
+        cnts = np.concatenate(cnt_parts)
+        order2 = np.argsort(codes, kind="stable")
+        codes, cnts = codes[order2], cnts[order2]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ucode = codes[starts]
+        c = np.add.reduceat(cnts, starts)
+        ra, rb = ucode // n_uniq, ucode % n_uniq
+        yield pd.DataFrame(
+            {
+                "id_a": uids[ra],
+                "id_b": uids[rb],
+                "sz_a": sz_of[ra].astype("int32"),
+                "sz_b": sz_of[rb].astype("int32"),
+                "c": c,
+            }
+        )
+
+    # deterministic doc hash group + the G tiles each row participates in
+    grp = F.pmod(F.xxhash64("doc_id"), F.lit(G)).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(0), F.lit(G - 1)),
+        lambda t: F.struct(
+            F.least(F.col("grp"), t).alias("ti"),
+            F.greatest(F.col("grp"), t).alias("tj"),
+        ),
+    )
+    tiled = (
+        ex.withColumn("grp", grp)
+        .withColumn("tile", F.explode(tiles))
+        .select("doc_id", "lang", "blk", "sz", "sh", "grp",
+                F.col("tile.ti").alias("ti"), F.col("tile.tj").alias("tj"))
+    )
+    # explicit partition count (4x the configured shuffle parallelism,
+    # scale-adaptive via conf, NOT a local constant): tile keys are few,
+    # so letting AQE coalesce this exchange by its INPUT size stacks
+    # multiple tiles onto one task while the task's real work is
+    # quadratic in tile size (measured: 18 coalesced tasks, 1.6-9.0 s
+    # spread). More slots than tiles keeps tasks to ~one big tile each
+    # (guide §2.5).
+    n_parts = 4 * int(ex.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return tiled.repartition(n_parts, "lang", "blk", "ti", "tj").mapInPandas(
+        gen, schema=schema
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     sql=f"""
@@ -424,50 +681,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="training-data op: exact n-gram Jaccard dedup with (lang, length-band) blocking",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Explode-join plan: join on the SHINGLE key instead of forming all
-    # in-block pairs and intersecting arrays. Work is proportional to the
-    # actual shingle co-occurrences, the shuffle key space is thousands of
-    # (lang, blk, shingle) values instead of ~40 skewed block keys, and
-    # pairs with an empty intersection (jaccard 0 < threshold) never
-    # materialize at all. Measured 2.2x faster at sf0.1 with identical
-    # output; at 10^12 docs this is the only plan whose shuffle is not
-    # quadratic in block size.
-    sh = scoped_persist(
-        _shingled(spark, sf_dir).select(
-            "doc_id",
-            "lang",
-            F.floor(F.col("n_chars") / 50).cast("int").alias("blk"),
-            F.array_distinct("shingles").alias("s"),
-        )
+    # r6 plan (guide §2.3/§4.2; evidence in OPTIMIZATION_r06.md): one
+    # skinny shuffle of the exploded (doc, shingle) stream keyed by the
+    # BLOCK TILE, then the whole pair enumeration + exact counting runs
+    # as a vectorized numpy kernel per task — pairs never span blocks,
+    # so the per-task counts are final: no self-join, no pair-keyed
+    # exchange, no downstream aggregate. Work stays proportional to the
+    # actual shingle co-occurrences (pairs with an empty intersection
+    # never materialize), as in the r3-r5 explode-join plan, minus that
+    # plan's 100M-row partial exchange and 231M-row join emission.
+    sh = _shingled(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 50).cast("int").alias("blk"),
+        F.array_distinct("shingles").alias("s"),
     )
     ex = sh.select(
         "doc_id", "lang", "blk", F.size("s").alias("sz"), F.explode("s").alias("sh")
     )
-    a = ex.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("blk").alias("blk_a"),
-        F.col("sz").alias("sz_a"),
-        F.col("sh").alias("sh_a"),
-    )
-    b = ex.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("blk").alias("blk_b"),
-        F.col("sz").alias("sz_b"),
-        F.col("sh").alias("sh_b"),
-    )
-    common = (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("blk_a") == F.col("blk_b"))
-            & (F.col("sh_a") == F.col("sh_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    common = _ngram_block_pair_counts(ex)
     return common.select(
         "id_a",
         "id_b",
