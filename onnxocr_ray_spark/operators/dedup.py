@@ -262,20 +262,135 @@ _BAND_COLS_SQL = ", ".join(
 _BAND_OR_SQL = " OR ".join(f"a.band{b} = b.band{b}" for b in range(LSH_BANDS))
 
 
-def _jaccard_cols(sa, sb):
-    """Exact Jaccard over two DISTINCT-element arrays.
-
-    r6: ``|A∪B|`` is computed as ``|A| + |B| − |A∩B|`` (inclusion-
-    exclusion over sets) instead of materializing ``array_union`` — one
-    O(n) hashed array pass per pair instead of two. ``_signed`` emits
-    deduplicated arrays, so ``size()`` is the set cardinality and the
-    quotient (and its round) is bit-identical to the
-    intersect/union form the oracle uses."""
-    inter = F.size(F.array_intersect(sa, sb))
-    return F.round(inter.cast("double") / (F.size(sa) + F.size(sb) - inter), 6)
-
-
 # --- MinHash + LSH ---
+
+
+def _lsh_bucket_pair_counts(ex: DataFrame) -> DataFrame:
+    """Exact shared-shingle counts for every distinct LSH candidate pair,
+    computed per BUCKET ``(band_idx, band_hash)`` in one numpy kernel.
+
+    r6 replacement for the band self-join + global ``distinct`` + two
+    array-attaching verify joins (OPTIMIZATION_r06.md): that plan spent
+    ~100 CPU-seconds at sf1.0 re-hashing both shingle arrays per pair
+    inside ``array_intersect`` (4.4M candidate pairs x ~40-string
+    arrays) after shipping the arrays through two join branches. Here
+    each signed doc row is replicated to its LSH_BANDS buckets (one
+    skinny shuffle, arrays attached once), and each task:
+
+    - dictionary-encodes its partition's shingles and band hashes with
+      ``pd.factorize`` (equality-preserving),
+    - per bucket of m docs builds the m x v 0/1 membership matrix and
+      gets ALL pairwise intersection counts as one BLAS matmul
+      ``A @ A.T`` (float32 is exact for counts < 2^24),
+    - deduplicates pairs ACROSS buckets locally with the min-band rule:
+      a pair is emitted only in the FIRST band where the two docs
+      collide, which is exactly one bucket per candidate pair — the
+      same pair set as the old global ``distinct``, with no exchange.
+
+    Output (id_a, id_b, sz_a, sz_b, c) with id_a < id_b; the caller
+    computes the rounded Jaccard in the JVM so float formatting matches
+    the oracle exactly.
+
+    Scale envelope: per-task memory is O(rows of its buckets) plus the
+    largest bucket's m x v matrix; pair emission per bucket is O(m^2) —
+    the same envelope as the previous join plan's bucket blowup
+    (VERDICT r5 "What's wrong" 3; exact-dedup-first remains the
+    documented mitigation for boilerplate mega-buckets). Partition
+    count follows ``spark.sql.shuffle.partitions``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("sz_a", T.IntegerType()),
+            T.StructField("sz_b", T.IntegerType()),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        dfs = list(batches)
+        if not dfs:
+            return
+        pdf = pd.concat(dfs, ignore_index=True)
+        n = len(pdf)
+        if not n:
+            return
+        ids = pdf["doc_id"].to_numpy()
+        band_idx = pdf["band_idx"].to_numpy()
+        # dictionary-encode hashes/shingles once per partition: factorize
+        # preserves equality, which is all the kernel compares
+        hash_c = pd.factorize(pdf["band_hash"])[0]
+        bands_flat = pd.factorize(
+            pd.Series(np.concatenate(pdf["bands"].to_numpy()))
+        )[0].reshape(n, LSH_BANDS)
+        sh_lists = pdf["shingles"].to_numpy()
+        lens = np.fromiter((len(s) for s in sh_lists), count=n, dtype=np.int64)
+        flat_codes = pd.factorize(
+            pd.Series(np.concatenate(sh_lists))
+        )[0].astype(np.int64)
+        offs = np.r_[0, np.cumsum(lens)]
+        # group rows into buckets via one lexsort (doc_id-ascending
+        # within bucket => id_a < id_b from triangle indices)
+        order = np.lexsort((ids, hash_c, band_idx))
+        bi_s, hc_s, ids_s = band_idx[order], hash_c[order], ids[order]
+        newb = np.r_[True, (bi_s[1:] != bi_s[:-1]) | (hc_s[1:] != hc_s[:-1])]
+        starts = np.flatnonzero(newb)
+        bounds = np.r_[starts, n]
+        out_a, out_b, out_sa, out_sb, out_c = [], [], [], [], []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            m = s1 - s0
+            if m < 2:
+                continue
+            sel = order[s0:s1]
+            bi = int(bi_s[s0])
+            # min-band dedup: keep pairs whose bands 0..bi-1 all differ
+            if bi > 0:
+                B = bands_flat[sel, :bi]
+            doc_codes = [flat_codes[offs[r]:offs[r + 1]] for r in sel]
+            all_codes = np.concatenate(doc_codes)
+            uniq, inv = np.unique(all_codes, return_inverse=True)
+            A = np.zeros((m, len(uniq)), dtype=np.float32)
+            pos = 0
+            for i, dc in enumerate(doc_codes):
+                A[i, inv[pos:pos + len(dc)]] = 1.0
+                pos += len(dc)
+            G = A @ A.T
+            iu, ju = np.triu_indices(m, 1)
+            if bi > 0:
+                keep = ~(B[iu] == B[ju]).any(axis=1)
+                iu, ju = iu[keep], ju[keep]
+                if not len(iu):
+                    continue
+            out_a.append(ids_s[s0:s1][iu])
+            out_b.append(ids_s[s0:s1][ju])
+            szs = lens[sel]
+            out_sa.append(szs[iu])
+            out_sb.append(szs[ju])
+            out_c.append(G[iu, ju].astype(np.int64))
+        if not out_a:
+            return
+        yield pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sz_a": np.concatenate(out_sa).astype("int32"),
+                "sz_b": np.concatenate(out_sb).astype("int32"),
+                "c": np.concatenate(out_c),
+            }
+        )
+
+    # explicit partition count from conf (scale-adaptive, and exempt
+    # from AQE input-size coalescing, which would serialize the
+    # quadratic per-bucket work — same rationale as the ngram tiling)
+    n_parts = int(ex.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return ex.repartition(n_parts, "band_idx", "band_hash").mapInPandas(
+        gen, schema=schema
+    )
 
 @register(
     "dedup_minhash_lsh",
@@ -301,40 +416,31 @@ def _jaccard_cols(sa, sb):
     doc="training-data op: MinHash+LSH near-dup candidates (k=8 sigs, 4 bands) with exact-Jaccard verify; Spark plan = explode bands + equi-join (scales), oracle = OR-join",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Materialize the signature table once and reuse it on every join
-    # side; without this Catalyst would inline the signature computation
-    # into all four self-join branches. At production scale this persist
-    # becomes a checkpointed signature table (SURVEY.md §7.1 M5). The
-    # handle is scope-managed: released before the next registry query
-    # runs (caching.py), so a 60-query session never accumulates caches.
-    sh = scoped_persist(_signed(spark, sf_dir))
-    # scalable LSH plan: one row per (band_idx, band_hash), equi-join on both
-    exploded = sh.select(
-        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    # r6 plan (guide §2.3/§4.2; evidence in OPTIMIZATION_r06.md): the
+    # signed docs stream straight into one bucket-keyed shuffle (each
+    # row replicated to its LSH_BANDS buckets with the shingle array
+    # attached ONCE), and the per-bucket numpy kernel produces the
+    # distinct candidate pairs with exact intersection counts — no
+    # signature-table persist, no band self-join, no global distinct, no
+    # array-attaching verify joins. The exact-Jaccard verify semantics
+    # (set Jaccard over distinct shingles, |A∪B| by inclusion-exclusion)
+    # and the emitted pair set are unchanged; the oracle pins both.
+    sh = _signed(spark, sf_dir)
+    ex = sh.select(
+        "doc_id",
+        "shingles",
+        "bands",
+        F.posexplode("bands").alias("band_idx", "band_hash"),
     )
-    cands = (
-        exploded.alias("a")
-        .join(
-            exploded.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            _jaccard_cols(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
-        )
+    counts = _lsh_bucket_pair_counts(ex)
+    return counts.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("c").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("c")),
+            6,
+        ).alias("jaccard"),
     )
 
 
