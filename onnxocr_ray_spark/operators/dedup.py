@@ -299,7 +299,7 @@ def _lsh_bucket_pair_counts(ex: DataFrame) -> DataFrame:
     count follows ``spark.sql.shuffle.partitions``.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -311,28 +311,39 @@ def _lsh_bucket_pair_counts(ex: DataFrame) -> DataFrame:
             T.StructField("c", T.LongType()),
         ]
     )
+    _OUT_BATCH = 1 << 20
 
     def gen(batches):
-        dfs = list(batches)
-        if not dfs:
+        # mapInArrow for the same reason as the ngram kernel: list- and
+        # string-heavy input flattens zero-copy through arrow offsets,
+        # and the multi-million-row numeric output leaves as large
+        # arrow batches instead of 2048-row pandas slices
+        batches = list(batches)
+        if not batches:
             return
-        pdf = pd.concat(dfs, ignore_index=True)
-        n = len(pdf)
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n = tbl.num_rows
         if not n:
             return
-        ids = pdf["doc_id"].to_numpy()
-        band_idx = pdf["band_idx"].to_numpy()
-        # dictionary-encode hashes/shingles once per partition: factorize
-        # preserves equality, which is all the kernel compares
-        hash_c = pd.factorize(pdf["band_hash"])[0]
-        bands_flat = pd.factorize(
-            pd.Series(np.concatenate(pdf["bands"].to_numpy()))
-        )[0].reshape(n, LSH_BANDS)
-        sh_lists = pdf["shingles"].to_numpy()
-        lens = np.fromiter((len(s) for s in sh_lists), count=n, dtype=np.int64)
-        flat_codes = pd.factorize(
-            pd.Series(np.concatenate(sh_lists))
-        )[0].astype(np.int64)
+        ids = tbl.column("doc_id").combine_chunks().to_numpy()
+        band_idx = tbl.column("band_idx").combine_chunks().to_numpy()
+        # dictionary-encode hashes/shingles once per partition (C++
+        # equality-preserving codes, which is all the kernel compares)
+        hash_c = (
+            tbl.column("band_hash").combine_chunks()
+            .dictionary_encode().indices.to_numpy()
+        )
+        bands_arr = tbl.column("bands").combine_chunks()
+        bands_flat = (
+            bands_arr.flatten().dictionary_encode().indices.to_numpy()
+            .reshape(n, LSH_BANDS)
+        )
+        sh_arr = tbl.column("shingles").combine_chunks()
+        lens = np.diff(sh_arr.offsets.to_numpy()).astype(np.int64)
+        flat_codes = (
+            sh_arr.flatten().dictionary_encode().indices.to_numpy()
+            .astype(np.int64)
+        )
         offs = np.r_[0, np.cumsum(lens)]
         # group rows into buckets via one lexsort (doc_id-ascending
         # within bucket => id_a < id_b from triangle indices)
@@ -374,21 +385,29 @@ def _lsh_bucket_pair_counts(ex: DataFrame) -> DataFrame:
             out_c.append(G[iu, ju].astype(np.int64))
         if not out_a:
             return
-        yield pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "sz_a": np.concatenate(out_sa).astype("int32"),
-                "sz_b": np.concatenate(out_sb).astype("int32"),
-                "c": np.concatenate(out_c),
-            }
-        )
+        id_a = np.concatenate(out_a)
+        id_b = np.concatenate(out_b)
+        sz_a = np.concatenate(out_sa).astype(np.int32)
+        sz_b = np.concatenate(out_sb).astype(np.int32)
+        c = np.concatenate(out_c)
+        for lo in range(0, len(id_a), _OUT_BATCH):
+            hi = min(lo + _OUT_BATCH, len(id_a))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(id_a[lo:hi], type=pa.int64()),
+                    pa.array(id_b[lo:hi], type=pa.int64()),
+                    pa.array(sz_a[lo:hi], type=pa.int32()),
+                    pa.array(sz_b[lo:hi], type=pa.int32()),
+                    pa.array(c[lo:hi], type=pa.int64()),
+                ],
+                names=["id_a", "id_b", "sz_a", "sz_b", "c"],
+            )
 
     # explicit partition count from conf (scale-adaptive, and exempt
     # from AQE input-size coalescing, which would serialize the
     # quadratic per-bucket work — same rationale as the ngram tiling)
     n_parts = int(ex.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return ex.repartition(n_parts, "band_idx", "band_hash").mapInPandas(
+    return ex.repartition(n_parts, "band_idx", "band_hash").mapInArrow(
         gen, schema=schema
     )
 
@@ -611,39 +630,58 @@ def _ngram_block_pair_counts(ex: DataFrame) -> DataFrame:
     a local constant); hot-block work splits G(G+1)/2 ways via tiling.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import types as T
 
     schema = T.StructType(
         [
             T.StructField("id_a", T.LongType()),
             T.StructField("id_b", T.LongType()),
-            T.StructField("sz_a", T.IntegerType()),
-            T.StructField("sz_b", T.IntegerType()),
+            T.StructField("s", T.LongType()),
             T.StructField("c", T.LongType()),
         ]
     )
     _PAIR_CHUNK = 4_000_000
+    _OUT_BATCH = 1 << 20
+    # conservative in-kernel threshold: the query keeps pairs with
+    # round(jaccard, 6) >= 0.02, and rounding moves a double by < 5e-7,
+    # so every surviving pair has raw jaccard >= 0.0199995. Filtering on
+    # that bound here (same IEEE double division the JVM would do)
+    # drops ~20% of rows before the arrow->JVM row conversion while the
+    # JVM still applies the exact rounded predicate — identical output.
+    _PRE_MIN = 0.02 - 5e-7
     G = _NGRAM_TILES
 
     def gen(batches):
-        dfs = list(batches)
-        if not dfs:
+        # mapInArrow, not mapInPandas: the output is tens of millions of
+        # skinny numeric rows, and the pandas path re-slices it into
+        # arrow.maxRecordsPerBatch(=2048)-row record batches (measured
+        # 2.2 s of pure batching overhead on the hottest tile); arrow
+        # batches built straight from numpy are zero-copy and sized here
+        batches = list(batches)
+        if not batches:
             return
-        pdf = pd.concat(dfs, ignore_index=True)
-        if not len(pdf):
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n = tbl.num_rows
+        if not n:
             return
+
         # injective per-partition group code for (lang, blk, ti, tj, sh)
-        # without string concatenation: factorize the string columns and
-        # detect group boundaries component-wise after one lexsort
-        lang_c = pd.factorize(pdf["lang"])[0]
-        sh_c = pd.factorize(pdf["sh"])[0]
-        blk = pdf["blk"].to_numpy()
-        ti = pdf["ti"].to_numpy()
-        tj = pdf["tj"].to_numpy()
-        grp = pdf["grp"].to_numpy()
-        ids = pdf["doc_id"].to_numpy()
-        szs = pdf["sz"].to_numpy()
+        # without string concatenation: dictionary-encode the string
+        # columns (equality-preserving C++ pass) and detect group
+        # boundaries component-wise after one lexsort
+        def codes_of(name):
+            arr = tbl.column(name).combine_chunks()
+            return arr.dictionary_encode().indices.to_numpy()
+
+        lang_c = codes_of("lang")
+        sh_c = codes_of("sh")
+        blk = tbl.column("blk").combine_chunks().to_numpy()
+        ti = tbl.column("ti").combine_chunks().to_numpy()
+        tj = tbl.column("tj").combine_chunks().to_numpy()
+        grp = tbl.column("grp").combine_chunks().to_numpy()
+        ids = tbl.column("doc_id").combine_chunks().to_numpy()
+        szs = tbl.column("sz").combine_chunks().to_numpy()
         # within a key group: tile-i rows first, then tile-j rows, each
         # doc_id-ascending — the rectangle enumeration below relies on it
         is_j = (grp != ti).astype(np.int8)
@@ -681,63 +719,133 @@ def _ngram_block_pair_counts(ex: DataFrame) -> DataFrame:
             e - arange_n - 1,
         )
         base = np.where(is_cross, js, arange_n + 1)
-        uids, inv = np.unique(ids_s, return_inverse=True)
-        n_uniq = len(uids)
-        sz_of = np.empty(n_uniq, dtype=np.int64)
-        sz_of[inv] = szs_s
-        # enumerate pairs in chunks of ~_PAIR_CHUNK so peak memory stays
-        # bounded; per-chunk np.unique pre-counts, then one merge pass
-        cum = np.cumsum(reps) if n_rows else np.zeros(0, dtype=np.int64)
-        total_pairs = int(cum[-1]) if n_rows else 0
-        if not total_pairs:
-            return
-        n_chunks = max(1, -(-total_pairs // _PAIR_CHUNK))
-        cuts = np.searchsorted(
-            cum, np.arange(1, n_chunks) * _PAIR_CHUNK, side="left"
-        ) + 1
-        bounds = np.unique(np.r_[0, cuts, n_rows])
+        # tile boundaries (coarser than key groups: shingle excluded) —
+        # counting runs per tile so the pair-code space is the tile's
+        # rank rectangle and counts fall out of one linear np.bincount
+        # instead of a sort (the sort-based np.unique counting was ~60%
+        # of the kernel's CPU at sf1.0)
+        newtile = np.r_[
+            True,
+            (lc[1:] != lc[:-1]) | (bc[1:] != bc[:-1])
+            | (tic[1:] != tic[:-1]) | (tjc[1:] != tjc[:-1]),
+        ]
+        tile_starts = np.flatnonzero(newtile)
+        tile_bounds = np.r_[tile_starts, n_rows]
+        cum = np.cumsum(reps)
         offs_all = cum - reps
-        code_parts, cnt_parts = [], []
-        for lo, hi in zip(bounds[:-1], bounds[1:]):
-            reps_c = reps[lo:hi]
-            m = int(reps_c.sum())
-            if not m:
+        # bins above this cap fall back to sort-based counting (keeps
+        # worst-case memory at ~128 MB per task for a mega-tile)
+        _BIN_CAP = 1 << 24
+        out_a, out_b, out_sa, out_c = [], [], [], []
+        for t0, t1 in zip(tile_bounds[:-1], tile_bounds[1:]):
+            t_reps = reps[t0:t1]
+            total_t = int(cum[t1 - 1] - offs_all[t0])
+            if not total_t:
                 continue
-            a_idx = np.repeat(np.arange(lo, hi), reps_c)
-            b_idx = (
-                np.arange(m)
-                - (offs_all[a_idx] - offs_all[lo])
-                + base[a_idx]
-            )
-            av, bv = inv[a_idx], inv[b_idx]
-            code = (
-                np.minimum(av, bv).astype(np.int64) * n_uniq
-                + np.maximum(av, bv)
-            )
-            ucode, cnt = np.unique(code, return_counts=True)
-            code_parts.append(ucode)
-            cnt_parts.append(cnt.astype(np.int64))
-        if not code_parts:
+            t_ids = ids_s[t0:t1]
+            t_szs = szs_s[t0:t1]
+            t_isj = isj_s[t0:t1].astype(bool)
+            cross = bool(is_cross[t0])
+            # per-side rank dictionaries (sorted by doc_id, so rank
+            # order == id order)
+            if cross:
+                uids_a, ra_inv = np.unique(t_ids[~t_isj], return_inverse=True)
+                uids_b, rb_inv = np.unique(t_ids[t_isj], return_inverse=True)
+            else:
+                uids_a, all_inv = np.unique(t_ids, return_inverse=True)
+                uids_b = uids_a
+            W = len(uids_b)
+            rk = np.empty(t1 - t0, dtype=np.int64)
+            if cross:
+                rk[~t_isj] = ra_inv
+                rk[t_isj] = rb_inv
+            else:
+                rk = all_inv.astype(np.int64)
+            sz_of_a = np.empty(len(uids_a), dtype=np.int64)
+            sz_of_a[rk[~t_isj]] = t_szs[~t_isj]
+            if cross:
+                sz_of_b = np.empty(W, dtype=np.int64)
+                sz_of_b[rk[t_isj]] = t_szs[t_isj]
+            else:
+                sz_of_b = sz_of_a
+            nbins = len(uids_a) * W
+            use_bins = nbins <= _BIN_CAP
+            bins = np.zeros(nbins, dtype=np.int64) if use_bins else None
+            code_parts, cnt_parts = [], []
+            # chunked enumeration bounds within the tile
+            t_cum = cum[t0:t1] - offs_all[t0]
+            n_chunks = max(1, -(-total_t // _PAIR_CHUNK))
+            cuts = np.searchsorted(
+                t_cum, np.arange(1, n_chunks) * _PAIR_CHUNK, side="left"
+            ) + 1
+            bnds = np.unique(np.r_[0, cuts, t1 - t0])
+            for lo, hi in zip(bnds[:-1], bnds[1:]):
+                reps_c = t_reps[lo:hi]
+                m = int(reps_c.sum())
+                if not m:
+                    continue
+                a_loc = np.repeat(np.arange(lo, hi), reps_c)
+                b_loc = (
+                    np.arange(m)
+                    - (offs_all[t0 + a_loc] - offs_all[t0 + lo])
+                    + base[t0 + a_loc]
+                ) - t0
+                code = rk[a_loc] * W + rk[b_loc]
+                if use_bins:
+                    bins += np.bincount(code, minlength=nbins)
+                else:
+                    ucode, cnt = np.unique(code, return_counts=True)
+                    code_parts.append(ucode)
+                    cnt_parts.append(cnt.astype(np.int64))
+            if use_bins:
+                nz = np.flatnonzero(bins)
+                if not len(nz):
+                    continue
+                ucode, c = nz, bins[nz]
+            else:
+                codes = np.concatenate(code_parts)
+                cnts = np.concatenate(cnt_parts)
+                o2 = np.argsort(codes, kind="stable")
+                codes, cnts = codes[o2], cnts[o2]
+                st = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+                ucode, c = codes[st], np.add.reduceat(cnts, st)
+            ra, rb = ucode // W, ucode % W
+            s = sz_of_a[ra] + sz_of_b[rb]
+            # conservative pre-filter (see _PRE_MIN above): identical
+            # IEEE division to the JVM's, keeping a provable superset of
+            # the rounded predicate's survivors
+            keep = c.astype(np.float64) / (s - c) >= _PRE_MIN
+            if not keep.any():
+                continue
+            ra, rb, s, c = ra[keep], rb[keep], s[keep], c[keep]
+            ia, ib = uids_a[ra], uids_b[rb]
+            if cross:
+                # order each emitted pair by doc_id (sides are disjoint)
+                swap = ia > ib
+                ia2 = np.where(swap, ib, ia)
+                ib = np.where(swap, ia, ib)
+                ia = ia2
+            out_a.append(ia)
+            out_b.append(ib)
+            out_sa.append(s)
+            out_c.append(c)
+        if not out_a:
             return
-        # merge chunk counts: sort the (already per-chunk-unique) codes
-        # once and sum runs — exact integer sums, deterministic
-        codes = np.concatenate(code_parts)
-        cnts = np.concatenate(cnt_parts)
-        order2 = np.argsort(codes, kind="stable")
-        codes, cnts = codes[order2], cnts[order2]
-        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
-        ucode = codes[starts]
-        c = np.add.reduceat(cnts, starts)
-        ra, rb = ucode // n_uniq, ucode % n_uniq
-        yield pd.DataFrame(
-            {
-                "id_a": uids[ra],
-                "id_b": uids[rb],
-                "sz_a": sz_of[ra].astype("int32"),
-                "sz_b": sz_of[rb].astype("int32"),
-                "c": c,
-            }
-        )
+        id_a = np.concatenate(out_a)
+        id_b = np.concatenate(out_b)
+        s_all = np.concatenate(out_sa)
+        c_all = np.concatenate(out_c)
+        for lo in range(0, len(id_a), _OUT_BATCH):
+            hi = min(lo + _OUT_BATCH, len(id_a))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(id_a[lo:hi], type=pa.int64()),
+                    pa.array(id_b[lo:hi], type=pa.int64()),
+                    pa.array(s_all[lo:hi], type=pa.int64()),
+                    pa.array(c_all[lo:hi], type=pa.int64()),
+                ],
+                names=["id_a", "id_b", "s", "c"],
+            )
 
     # deterministic doc hash group + the G tiles each row participates in
     grp = F.pmod(F.xxhash64("doc_id"), F.lit(G)).cast("int")
@@ -762,7 +870,7 @@ def _ngram_block_pair_counts(ex: DataFrame) -> DataFrame:
     # spread). More slots than tiles keeps tasks to ~one big tile each
     # (guide §2.5).
     n_parts = 4 * int(ex.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return tiled.repartition(n_parts, "lang", "blk", "ti", "tj").mapInPandas(
+    return tiled.repartition(n_parts, "lang", "blk", "ti", "tj").mapInArrow(
         gen, schema=schema
     )
 
@@ -806,11 +914,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "blk", F.size("s").alias("sz"), F.explode("s").alias("sh")
     )
     common = _ngram_block_pair_counts(ex)
+    # s = |A|+|B| from the kernel, so |A∪B| = s − c (inclusion-exclusion
+    # over the distinct shingle sets) — same double as intersect/union
     return common.select(
         "id_a",
         "id_b",
         F.round(
-            F.col("c").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("c")), 6
+            F.col("c").cast("double") / (F.col("s") - F.col("c")), 6
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= 0.02)
 
