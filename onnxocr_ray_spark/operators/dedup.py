@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from onnxocr_ray_spark.caching import scoped_persist
 from onnxocr_ray_spark.functions import portable_md5, shingles_of, words_of
 from onnxocr_ray_spark.registry import register
 from onnxocr_ray_spark.sources.tables import load_table, spread_scan
@@ -954,15 +953,24 @@ _HAMMING_SQL = "(" + " + ".join(
     ),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scalable plan: explode each signature into its 4 bit-bands and
-    # equi-join on (band_idx, band_bits) — candidates are band collisions
-    # only, shuffle key space = bands x 2^16. By pigeonhole, any
-    # pair within Hamming distance 3 shares at least one exact band, so
-    # the banded candidate set is COMPLETE (identical rows to the oracle's
-    # all-pairs scan) while never materializing zero-overlap pairs.
-    sigs = scoped_persist(dedup_simhash(spark, sf_dir))
-    bands = sigs.select(
+    # Banded plan: explode each signature into its 4 bit-bands; by
+    # pigeonhole, any pair within Hamming distance 3 shares at least one
+    # exact band, so the banded candidate set is COMPLETE (identical
+    # rows to the oracle's all-pairs scan) while never materializing
+    # zero-overlap pairs. r6 (OPTIMIZATION_r06.md): the band self-join +
+    # global distinct + two joins attaching signature strings + 64
+    # interpreted substring comparisons per pair took 250 s at sf1.0
+    # (136M band-collision pairs — the biased synthetic vocabulary makes
+    # 16-bit band buckets of up to 7.5k docs). Replaced by one
+    # bucket-keyed shuffle and a numpy kernel per task: signatures
+    # packed to uint64, Hamming = XOR + SWAR popcount over each
+    # bucket's triangle (chunked), cross-band pair dedup via the local
+    # min-band rule — integer-exact output, no distinct exchange, no
+    # verify joins, no persist.
+    sigs = dedup_simhash(spark, sf_dir)
+    ex = sigs.select(
         "doc_id",
+        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -972,30 +980,126 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band"),
     )
-    cands = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    return _simhash_bucket_pairs(ex)
+
+
+def _simhash_bucket_pairs(ex: DataFrame) -> DataFrame:
+    """Exact Hamming pairs (<= SIMHASH_HAMMING_K) per LSH band bucket.
+
+    Same shape as ``_lsh_bucket_pair_counts``: each (doc, band) row is
+    shuffled once to its ``(band_idx, band)`` bucket carrying the full
+    64-char signature; each task packs signatures to uint64 (any
+    consistent bit packing preserves Hamming distance), enumerates each
+    bucket's ordered triangle in ~4M-pair chunks, computes Hamming with
+    one vectorized XOR + SWAR popcount (streaming/pipeline.py's
+    ``_popcount64``), deduplicates across bands with the min-band rule
+    (the 4 16-bit band codes are the packed signature's uint16 chunks),
+    and emits only pairs at Hamming <= K — all-integer arithmetic, so
+    the rows are exact with no JVM re-verification.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from onnxocr_ray_spark.streaming.pipeline import _popcount64
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("hamming", T.LongType()),
+        ]
     )
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"))
-    hamming = sum(
-        (
-            F.substring("sig_a", j, 1) != F.substring("sig_b", j, 1)
-        ).cast("int")
-        for j in range(1, SIMHASH_BITS + 1)
-    ).cast("long")
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= SIMHASH_HAMMING_K)
+    _PAIR_CHUNK = 4_000_000
+
+    def gen(batches):
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n = tbl.num_rows
+        if not n:
+            return
+        ids = tbl.column("doc_id").combine_chunks().to_numpy()
+        band_idx = tbl.column("band_idx").combine_chunks().to_numpy()
+        band_c = (
+            tbl.column("band").combine_chunks()
+            .dictionary_encode().indices.to_numpy()
+        )
+        sig_str = tbl.column("simhash").combine_chunks()
+        bits = (
+            np.frombuffer(
+                "".join(sig_str.to_pylist()).encode("ascii"), dtype=np.uint8
+            ).reshape(n, SIMHASH_BITS)
+            - ord("0")
+        )
+        packed = np.packbits(bits, axis=1)              # (n, 8) uint8
+        sig64 = packed.copy().view(np.uint64).ravel()   # hamming-preserving
+        band16 = (
+            packed[:, 0::2].astype(np.uint16) * 256
+            + packed[:, 1::2].astype(np.uint16)
+        )                                               # (n, 4) band codes
+        order = np.lexsort((ids, band_c, band_idx))
+        bi_s, bc_s, ids_s = band_idx[order], band_c[order], ids[order]
+        sig_s, b16_s = sig64[order], band16[order]
+        newb = np.r_[True, (bi_s[1:] != bi_s[:-1]) | (bc_s[1:] != bc_s[:-1])]
+        starts = np.flatnonzero(newb)
+        bounds = np.r_[starts, n]
+        out_a, out_b, out_h = [], [], []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            m = s1 - s0
+            if m < 2:
+                continue
+            bi = int(bi_s[s0])
+            b_ids = ids_s[s0:s1]
+            b_sig = sig_s[s0:s1]
+            b_b16 = b16_s[s0:s1]
+            reps = np.arange(m - 1, -1, -1, dtype=np.int64)
+            cum = np.cumsum(reps)
+            offs = cum - reps
+            total = int(cum[-1])
+            n_chunks = max(1, -(-total // _PAIR_CHUNK))
+            cuts = np.searchsorted(
+                cum, np.arange(1, n_chunks) * _PAIR_CHUNK, side="left"
+            ) + 1
+            bnds = np.unique(np.r_[0, cuts, m])
+            for lo, hi in zip(bnds[:-1], bnds[1:]):
+                reps_c = reps[lo:hi]
+                mm = int(reps_c.sum())
+                if not mm:
+                    continue
+                a_idx = np.repeat(np.arange(lo, hi), reps_c)
+                b_idx = np.arange(mm) - (offs[a_idx] - offs[lo]) + a_idx + 1
+                if bi > 0:
+                    keep = np.ones(mm, dtype=bool)
+                    for bb in range(bi):
+                        keep &= b_b16[a_idx, bb] != b_b16[b_idx, bb]
+                    a_idx, b_idx = a_idx[keep], b_idx[keep]
+                    if not len(a_idx):
+                        continue
+                ham = _popcount64(
+                    (b_sig[a_idx] ^ b_sig[b_idx]).view(np.uint64)
+                ).astype(np.int64)
+                sel = ham <= SIMHASH_HAMMING_K
+                if not sel.any():
+                    continue
+                out_a.append(b_ids[a_idx[sel]])
+                out_b.append(b_ids[b_idx[sel]])
+                out_h.append(ham[sel])
+        if not out_a:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(out_a), type=pa.int64()),
+                pa.array(np.concatenate(out_b), type=pa.int64()),
+                pa.array(np.concatenate(out_h), type=pa.int64()),
+            ],
+            names=["id_a", "id_b", "hamming"],
+        )
+
+    n_parts = int(ex.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return ex.repartition(n_parts, "band_idx", "band").mapInArrow(
+        gen, schema=schema
     )
 
 
@@ -1066,7 +1170,10 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     - per-doc stats partial-aggregate to one row per doc before the
       final doc_id exchange.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # r6: the documents file is a single row group, so without the
+    # spread the passage explode + hashing ran on 1-2 cores (measured
+    # 8.0 s at sf1.0); a no-op on a many-split production table
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     words = words_of(F.trim(F.col("text")))
     n_chunks = (F.size(words) + (PASSAGE_WORDS - 1)).cast("long") / F.lit(
         PASSAGE_WORDS
@@ -1171,8 +1278,11 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a flagged doc for human review, never drops one).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # r6: spread the gram side before the 13-gram explode — the sliding
+    # grams (2.1M at sf1.0) were generated on 1-2 scan partitions
+    # (measured 16.1 s); the probe side stays on the raw scan (tiny)
     return (
-        decon_doc_grams(docs)
+        decon_doc_grams(spread_scan(docs))
         .join(F.broadcast(decon_probes(docs)), "gram_h")
         .groupBy("doc_id")
         .agg(

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from onnxocr_ray_spark.registry import register
-from onnxocr_ray_spark.sources.tables import load_table
+from onnxocr_ray_spark.sources.tables import load_table, spread_scan
 
 LINE_CHARS = 48       # chars per synthesized text line (one span each)
 PAGE_LINES = 40       # spans per page
@@ -387,7 +387,11 @@ _N_SPANS_SQL = f"GREATEST(CAST(ceil(length(text) / {LINE_CHARS}.0) AS BIGINT), 1
          "Oracle checks byte-identical text roundtrip + span/page counts."),
 )
 def pdf_extract_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r6: spread the single-row-group scan — synth+parse ran serially
+    # on one core without it (measured 19.2 s at sf1.0)
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     parsed = pdf_extract(synth_pdf(docs))
     return (parsed
             .select("doc_id", "pdf_text", "n_spans", "n_pages")

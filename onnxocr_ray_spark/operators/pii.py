@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from onnxocr_ray_spark.registry import register
-from onnxocr_ray_spark.sources.tables import load_table
+from onnxocr_ray_spark.sources.tables import load_table, spread_scan
 
 # Java-regex / RE2 common-subset patterns (see module doc)
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -106,8 +106,13 @@ def pii_counts(text: Column) -> dict:
     ),
 )
 def pii_redact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "n_chars"
+    # r6: spread the single-row-group scan so the three codegen regex
+    # passes parallelize (measured 10.0 s near-serial at sf1.0); a no-op
+    # on a many-split production table (sources/tables.spread_scan)
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "n_chars"
+        )
     )
     d = F.col("doc_id")
     injected = docs.select(

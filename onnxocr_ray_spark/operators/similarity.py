@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from onnxocr_ray_spark.functions import cosine_sim
 from onnxocr_ray_spark.registry import register
-from onnxocr_ray_spark.sources.tables import load_table
+from onnxocr_ray_spark.sources.tables import load_table, spread_scan
 
 _COS_SQL = """list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
@@ -29,7 +29,10 @@ _E_SQL = "SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v F
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r6: embeddings.parquet is a single row group — without the spread
+    # every interpreted cosine fold downstream (brute top-k, IVF argmax,
+    # Lloyd iterations) ran on 1-2 cores
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     return emb.select(
         "vec_id",
         "label",
@@ -688,32 +691,130 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cid only, and each cluster's candidate block is cluster_size^2 —
     bounded by construction when K tracks corpus size. No global
     pairwise join exists anywhere in the plan.
+
+    r6 (OPTIMIZATION_r06.md): the in-cluster verify used to run the
+    interpreted 64-dim ``cosine_sim`` fold as a LEFT-join condition —
+    sum(cluster^2) pair evaluations through Catalyst's interpreter
+    (~276 s at sf1.0, 25M pairs over K=8 clusters). The pairwise pass
+    now runs per cluster in ``_cluster_cos_candidates``: a BLAS matmul
+    prescreen with a wide safety margin, then a bit-exact sequential
+    re-evaluation (the same left-to-right IEEE fold as ``cosine_sim``)
+    of the few candidate pairs, whose raw cosine the JVM rounds and
+    thresholds exactly as before — identical keep decisions.
     """
     e = _vecs(spark, sf_dir)
     c = e.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    member = _ivf_assign(e, c).join(e.select("vec_id", "v"), "vec_id")
-    # one LEFT join decides keep directly: x is dropped iff a LOWER-id
-    # neighbor above tau shares its cluster — so the member relation is
-    # scanned exactly twice (the two join sides), with no third pass to
-    # stitch a drop list back on
-    a = member.select("vec_id", "cid", F.col("v").alias("va"))
-    b = member.select(
-        F.col("vec_id").alias("ib"),
-        F.col("cid").alias("cid_b"),
-        F.col("v").alias("vb"),
-    )
-    cos = F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
-    matched = a.join(
-        b,
-        (F.col("cid") == F.col("cid_b"))
-        & (F.col("ib") < F.col("vec_id"))
-        & (cos >= F.lit(_SEMDEDUP_TAU)),
-        "left",
+    assign = _ivf_assign(e, c)
+    member = assign.join(e.select("vec_id", "v"), "vec_id")
+    cands = _cluster_cos_candidates(member)
+    # exact predicate stays in the JVM: round(cos, 6) of the kernel's
+    # bit-identical raw cosine >= tau, as the join condition had it
+    drops = (
+        cands.filter(F.round(F.col("cos"), 6) >= F.lit(_SEMDEDUP_TAU))
+        .select("vec_id")
+        .distinct()
+        .withColumn("dropped", F.lit(True))
     )
     return (
-        matched.groupBy("vec_id", "cid")
-        .agg((F.count("ib") == 0).alias("keep"))
+        assign.join(drops, "vec_id", "left")
+        .select("vec_id", "cid", F.col("dropped").isNull().alias("keep"))
         .orderBy("vec_id")
     )
+
+
+def _cluster_cos_candidates(member: DataFrame) -> DataFrame:
+    """(vec_id, ib, cos) for in-cluster pairs with ``ib < vec_id`` whose
+    cosine can reach the SemDeDup threshold — a conservative superset,
+    with ``cos`` BIT-IDENTICAL to ``functions.cosine_sim``.
+
+    Per task (one shuffle on cid): each cluster's vectors form a
+    row-sorted (by vec_id) float64 matrix. A BLAS ``block @ V.T``
+    prescreen finds pairs with approximate cosine >= tau − 1e-5 — the
+    sequential-vs-pairwise summation difference over 64 O(1) terms is
+    bounded by ~64·eps·sum|x·y| (< 1e-12), so no qualifying pair can
+    escape the margin. Surviving pairs are re-evaluated with the exact
+    left-to-right fold ``acc = acc + x_k*y_k`` (k ascending), norms with
+    the same fold per vector, and ``dot / (sqrt(na)*sqrt(nb))`` in that
+    operation order — the identical IEEE double sequence Catalyst
+    evaluates for ``cosine_sim``, so the JVM's subsequent round(·, 6)
+    sees the same bits. Memory is bounded by the 512-row block times
+    cluster width; per-cluster work is cluster^2 (the query's own
+    envelope, see the mega-cluster stress test).
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("ib", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    _BLK = 512
+    _MARGIN = 1e-5
+
+    def gen(batches):
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n = tbl.num_rows
+        if not n:
+            return
+        ids = tbl.column("vec_id").combine_chunks().to_numpy()
+        cids = tbl.column("cid").combine_chunks().to_numpy()
+        v_arr = tbl.column("v").combine_chunks()
+        dim = len(v_arr[0])
+        flat = v_arr.flatten().to_numpy()
+        V_all = flat.reshape(n, dim)
+        order = np.lexsort((ids, cids))
+        ids_s, cids_s, V_all = ids[order], cids[order], V_all[order]
+        starts = np.flatnonzero(np.r_[True, cids_s[1:] != cids_s[:-1]])
+        bounds = np.r_[starts, n]
+        out_j, out_i, out_c = [], [], []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            m = s1 - s0
+            if m < 2:
+                continue
+            V = V_all[s0:s1]
+            vid = ids_s[s0:s1]
+            # exact norms: the same sequential fold as cosine_sim
+            ns = np.zeros(m)
+            for k in range(dim):
+                ns = ns + V[:, k] * V[:, k]
+            sn = np.sqrt(ns)
+            for b0 in range(0, m, _BLK):
+                b1 = min(b0 + _BLK, m)
+                R = (V[b0:b1] @ V.T) / (sn[b0:b1, None] * sn[None, :])
+                jj, ii = np.nonzero(R >= _SEMDEDUP_TAU - _MARGIN)
+                jj = jj + b0
+                keep = ii < jj          # partner must have the LOWER id
+                jj, ii = jj[keep], ii[keep]
+                if not len(jj):
+                    continue
+                # bit-exact re-evaluation of the candidate pairs
+                A, B = V[jj], V[ii]
+                acc = np.zeros(len(jj))
+                for k in range(dim):
+                    acc = acc + A[:, k] * B[:, k]
+                cos = acc / (sn[jj] * sn[ii])
+                out_j.append(vid[jj])
+                out_i.append(vid[ii])
+                out_c.append(cos)
+        if not out_j:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(out_j), type=pa.int64()),
+                pa.array(np.concatenate(out_i), type=pa.int64()),
+                pa.array(np.concatenate(out_c), type=pa.float64()),
+            ],
+            names=["vec_id", "ib", "cos"],
+        )
+
+    n_parts = int(member.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return member.repartition(n_parts, "cid").mapInArrow(gen, schema=schema)

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from onnxocr_ray_spark.functions import count_occurrences, portable_md5
 from onnxocr_ray_spark.registry import register
-from onnxocr_ray_spark.sources.tables import load_table
+from onnxocr_ray_spark.sources.tables import load_table, spread_scan
 
 # marker words per language for the n-gram heuristic (padded with spaces so
 # the replace-length occurrence count only hits whole words)
@@ -79,7 +79,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="training-data op: quality scoring from length/space/alpha ratios",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     length = F.greatest(F.length("text"), F.lit(1)).cast("double")
     alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
     spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
@@ -127,7 +127,7 @@ def _langid_scores_sql() -> str:
     doc="training-data op: language-ID via marker-word n-gram scores + deterministic argmax",
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     p = _padded(F.col("text"))
     scored = docs.select(
         "doc_id",
@@ -247,7 +247,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     words = F.split(F.trim(F.col("text")), " ")
     ex = docs.select("doc_id", F.explode(words).alias("word"))
     wc = ex.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
@@ -332,7 +332,7 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     ex = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"),
@@ -502,7 +502,7 @@ def gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
@@ -575,7 +575,7 @@ def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial counts), two hash joins back onto the occurrence
     stream keyed by bigram/w1, one final per-doc sum. Every exchanged
     key is a token string, never a document."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     ws = F.filter(
         F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit("")
     )
@@ -583,9 +583,17 @@ def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
     ).otherwise(F.array().cast("array<int>"))
     bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 2)))
-    bg = docs.select(
-        "doc_id", F.explode(bigrams).alias("bigram")
-    ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    # r6: the bigram explode (interpreted slice/concat lambdas) feeds
+    # THREE consumers (bigram counts, first-word counts, the scoring
+    # join); persist it once instead of recomputing the explode per
+    # branch (scope-managed, released before the next registry query)
+    from onnxocr_ray_spark.caching import scoped_persist
+
+    bg = scoped_persist(
+        docs.select(
+            "doc_id", F.explode(bigrams).alias("bigram")
+        ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    )
     c2 = bg.groupBy("bigram").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
     scored = (

@@ -275,7 +275,7 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc.gz") -> DataFr
 
 def _register_warc_query():
     from onnxocr_ray_spark.registry import register
-    from onnxocr_ray_spark.sources.tables import load_table
+    from onnxocr_ray_spark.sources.tables import load_table, spread_scan
 
     @register(
         "warc_ingest_roundtrip",
@@ -302,7 +302,11 @@ def _register_warc_query():
         ),
     )
     def warc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        # r6: spread the single-row-group scan (synthesis + gzip-member
+        # parse ran near-serially without it; 12.7 s at sf1.0)
+        docs = spread_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
         recs = warc_records(synth_warc(docs))
         return (
             recs.withColumn("http_status", F.col("http_status").cast("int"))

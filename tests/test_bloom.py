@@ -84,9 +84,9 @@ def test_dedup_semantic_survives_one_giant_cluster(spark):
 
     from onnxocr_ray_spark.operators.similarity import (
         _SEMDEDUP_TAU,
+        _cluster_cos_candidates,
         _ivf_assign,
     )
-    from onnxocr_ray_spark.functions import cosine_sim
 
     n, dim = 2000, 8
     # vectors = e1 + tiny deterministic jitter on e2 (cosine ~ 1.0)
@@ -95,28 +95,18 @@ def test_dedup_semantic_survives_one_giant_cluster(spark):
     c = e.filter(F.col("vec_id") < 1).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
+    # the production verify path (r6): per-cluster arrow kernel + exact
+    # rounded threshold in the JVM — dedup_semantic's exact shape
     member = _ivf_assign(e, c).join(e, "vec_id")
-    a = member.select("vec_id", "cid", F.col("v").alias("va"))
-    b = member.select(
-        F.col("vec_id").alias("ib"),
-        F.col("cid").alias("cid_b"),
-        F.col("v").alias("vb"),
-    )
-    cos = F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
     t0 = time.time()
-    kept = (
-        a.join(
-            b,
-            (F.col("cid") == F.col("cid_b"))
-            & (F.col("ib") < F.col("vec_id"))
-            & (cos >= F.lit(_SEMDEDUP_TAU)),
-            "left",
-        )
-        .groupBy("vec_id")
-        .agg((F.count("ib") == 0).alias("keep"))
-        .filter("keep")
-        .collect()
+    drops = (
+        _cluster_cos_candidates(member)
+        .filter(F.round(F.col("cos"), 6) >= F.lit(_SEMDEDUP_TAU))
+        .select("vec_id")
+        .distinct()
     )
+    dropped = {r.vec_id for r in drops.collect()}
     wall = time.time() - t0
-    assert [r.vec_id for r in kept] == [0]  # exactly the lowest id survives
+    kept = sorted(set(range(n)) - dropped)
+    assert kept == [0]  # exactly the lowest id survives
     assert wall < 120, f"giant-cluster pairwise took {wall:.1f}s"

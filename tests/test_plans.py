@@ -381,17 +381,20 @@ def test_bloom_build_state_is_bounded_and_partial_aggregated(spark):
 
 
 def test_dedup_semantic_pairs_are_cluster_blocked(spark, queries):
-    """The pairwise cosine verify must join on cid (cluster-blocked, a
-    hash join), never a CartesianProduct over the corpus; the only
-    nested-loop allowed is the K-row broadcast centroid assignment."""
+    """The pairwise cosine verify must be cluster-blocked, never a
+    CartesianProduct over the corpus; the only nested-loop allowed is
+    the K-row broadcast centroid assignment. r6: the verify runs as a
+    numpy kernel per cid partition (hashpartitioning(cid) exchange
+    feeding MapInArrow) instead of a cid-keyed self-join — assert that
+    exchange + kernel shape."""
     plan = plan_of(queries["dedup_semantic"].fn(spark, SF0001))
     assert "CartesianProduct" not in plan
-    # the only nested loops are the K-row broadcast centroid assignments
-    # (one per self-join side — the assign subtree is recomputed, which
-    # is cheaper than caching a corpus-sized relation)
+    # the only nested loop is the K-row broadcast centroid assignment
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
-    # the pairwise stage itself must key on cid, never loop over the corpus
-    assert "SortMergeJoin [cid" in plan or "ShuffledHashJoin [cid" in plan, plan
+    # the pairwise stage keys its one exchange on cid and verifies in
+    # the arrow kernel — never loops over the corpus
+    assert "hashpartitioning(cid" in plan, plan
+    assert "MapInArrow" in plan, plan
 
 
 def test_pack_sequences_windows_per_shard(spark, queries):
