@@ -1344,13 +1344,42 @@ def decon_probes(docs: DataFrame) -> DataFrame:
 
 def decon_doc_grams(docs: DataFrame) -> DataFrame:
     """(doc_id, gram_h) for every sliding 13-gram of every document.
-    Works identically on a batch or streaming ``docs`` frame (pure
-    column expressions, no aggregation)."""
-    words = words_of(F.trim(F.col("text")))
-    return docs.select(
-        "doc_id",
-        F.explode(shingles_of(words, DECON_N)).alias("gram"),
-    ).select("doc_id", _decon_gram_h(F.col("gram")).alias("gram_h"))
+    Works identically on a batch or streaming ``docs`` frame (one
+    stateless Arrow-batched map, no aggregation).
+
+    r6: the Column formulation (explode of 13-word slice/concat_ws
+    transforms + md5 per gram) ran interpreted in Catalyst — the same
+    20-40x penalty measured for ``_shingled`` — and dominated both
+    ``decontaminate`` and ``dup_gram_fraction``. The kernel mirrors it
+    bit-identically: SPACE-only trim, split keeping empty tokens
+    (``_py_shingles``'s fuzz-pinned contract, minus the lowercase),
+    ``' '.join`` == ``concat_ws``, and the same 16-hex-char md5 prefix.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    n = DECON_N
+
+    def gen(batches):
+        for pdf in batches:
+            ids_out, gh_out = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").strip(" ").split(" ")
+                if len(words) < n:
+                    continue
+                did = int(doc_id)
+                for i in range(len(words) - n + 1):
+                    gram = " ".join(words[i:i + n])
+                    ids_out.append(did)
+                    gh_out.append(
+                        hashlib.md5(gram.encode("utf-8")).hexdigest()[:16]
+                    )
+            yield pd.DataFrame({"doc_id": ids_out, "gram_h": gh_out})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, gram_h string"
+    )
 
 
 # --- exact-substring duplication fraction ---

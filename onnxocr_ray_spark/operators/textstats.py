@@ -575,24 +575,37 @@ def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial counts), two hash joins back onto the occurrence
     stream keyed by bigram/w1, one final per-doc sum. Every exchanged
     key is a token string, never a document."""
+    import pandas as pd
+
     docs = spread_scan(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    ws = F.filter(
-        F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit("")
-    )
-    idx = F.when(
-        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 2)))
-    # r6: the bigram explode (interpreted slice/concat lambdas) feeds
-    # THREE consumers (bigram counts, first-word counts, the scoring
-    # join); persist it once instead of recomputing the explode per
-    # branch (scope-managed, released before the next registry query)
+
+    # r6: the bigram stream is generated in an Arrow-batched Python
+    # kernel (bit-identical mirror of filter(split(lower(text), ' '),
+    # w != '') + concat_ws over 2-slices + split_part — the same
+    # portability contract as dedup._py_shingles, fuzz-pinned against
+    # the oracle's string_split in test_properties) instead of
+    # Catalyst's interpreted slice/concat lambda transforms, and
+    # persisted once for its THREE consumers (bigram counts, first-word
+    # counts, the scoring join) — scope-managed, released before the
+    # next registry query.
     from onnxocr_ray_spark.caching import scoped_persist
 
+    def gen(batches):
+        for pdf in batches:
+            ids_out, bg_out, w1_out = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in (text or "").lower().split(" ") if w]
+                did = int(doc_id)
+                for i in range(len(words) - 1):
+                    ids_out.append(did)
+                    bg_out.append(words[i] + " " + words[i + 1])
+                    w1_out.append(words[i])
+            yield pd.DataFrame(
+                {"doc_id": ids_out, "bigram": bg_out, "w1": w1_out}
+            )
+
     bg = scoped_persist(
-        docs.select(
-            "doc_id", F.explode(bigrams).alias("bigram")
-        ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        docs.mapInPandas(gen, schema="doc_id long, bigram string, w1 string")
     )
     c2 = bg.groupBy("bigram").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))

@@ -325,7 +325,10 @@ def test_dup_gram_fraction_partial_aggregates_minmax(spark, queries):
     assert "distinct" not in plan.lower()
     assert "Cartesian" not in plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
-    assert "substring(md5(" in plan
+    # r6: gram hashing moved into the arrow kernel (decon_doc_grams);
+    # every exchanged key is still the fixed-width 16-hex gram_h it emits
+    assert "MapInPandas" in plan or "substring(md5(" in plan
+    assert "hashpartitioning(gram_h" in plan, plan
 
 
 def test_url_dedup_is_single_exchange_no_window(spark, queries):
