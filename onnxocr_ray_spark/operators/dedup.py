@@ -616,6 +616,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vs G=1: 7.3 vs 11.2 s, G=4 pays more replication than it saves here);
 # production tuning: raise with cluster size / block skew.
 _NGRAM_TILES = 2
+# per-tile memory caps for the counting strategies, in elements (~64 MB
+# at 4-8 B each): tiles whose count matrix (n_a x n_b) AND membership
+# matrices (docs x tile vocabulary) fit use one BLAS matmul; otherwise
+# counts fall back to a linear bincount over the rank rectangle, and
+# past _NGRAM_BIN_CAP to chunked sort-unique — so a mega block degrades
+# gracefully instead of blowing task memory. Module-level so tests can
+# force each path onto the same input.
+_NGRAM_MM_CAP = 1 << 24
+_NGRAM_BIN_CAP = 1 << 24
 
 
 def _ngram_block_pair_counts(ex: DataFrame) -> DataFrame:
@@ -668,6 +677,10 @@ def _ngram_block_pair_counts(ex: DataFrame) -> DataFrame:
     )
     _PAIR_CHUNK = 4_000_000
     _OUT_BATCH = 1 << 20
+    # capture the caps driver-side so the executor closure sees the
+    # values in effect when the query was BUILT (tests force paths)
+    _MM_CAP = _NGRAM_MM_CAP
+    _BIN_CAP = _NGRAM_BIN_CAP
     # conservative in-kernel threshold: the query keeps pairs with
     # round(jaccard, 6) >= 0.02, and rounding moves a double by < 5e-7,
     # so every surviving pair has raw jaccard >= 0.0199995. Filtering on
@@ -758,9 +771,6 @@ def _ngram_block_pair_counts(ex: DataFrame) -> DataFrame:
         tile_bounds = np.r_[tile_starts, n_rows]
         cum = np.cumsum(reps)
         offs_all = cum - reps
-        # bins above this cap fall back to sort-based counting (keeps
-        # worst-case memory at ~128 MB per task for a mega-tile)
-        _BIN_CAP = 1 << 24
         out_a, out_b, out_sa, out_c = [], [], [], []
         for t0, t1 in zip(tile_bounds[:-1], tile_bounds[1:]):
             t_reps = reps[t0:t1]
@@ -793,48 +803,84 @@ def _ngram_block_pair_counts(ex: DataFrame) -> DataFrame:
                 sz_of_b[rk[t_isj]] = t_szs[t_isj]
             else:
                 sz_of_b = sz_of_a
-            nbins = len(uids_a) * W
-            use_bins = nbins <= _BIN_CAP
-            bins = np.zeros(nbins, dtype=np.int64) if use_bins else None
-            code_parts, cnt_parts = [], []
-            # chunked enumeration bounds within the tile
-            t_cum = cum[t0:t1] - offs_all[t0]
-            n_chunks = max(1, -(-total_t // _PAIR_CHUNK))
-            cuts = np.searchsorted(
-                t_cum, np.arange(1, n_chunks) * _PAIR_CHUNK, side="left"
-            ) + 1
-            bnds = np.unique(np.r_[0, cuts, t1 - t0])
-            for lo, hi in zip(bnds[:-1], bnds[1:]):
-                reps_c = t_reps[lo:hi]
-                m = int(reps_c.sum())
-                if not m:
-                    continue
-                a_loc = np.repeat(np.arange(lo, hi), reps_c)
-                b_loc = (
-                    np.arange(m)
-                    - (offs_all[t0 + a_loc] - offs_all[t0 + lo])
-                    + base[t0 + a_loc]
-                ) - t0
-                code = rk[a_loc] * W + rk[b_loc]
-                if use_bins:
-                    bins += np.bincount(code, minlength=nbins)
+            n_a = len(uids_a)
+            v_uniq, v_inv = np.unique(sc[t0:t1], return_inverse=True)
+            v = len(v_uniq)
+            # dense-matmul fast path (same structure as the minhash
+            # bucket kernel): build the tile's 0/1 doc x local-shingle
+            # membership matrices and get ALL pair counts from one BLAS
+            # matmul — no pair enumeration at all. Exact: one row per
+            # (doc, distinct shingle) so entries are 0/1, and float32
+            # counts are exact below 2^24. Falls back to the chunked
+            # enumeration + bincount path when the count matrix or the
+            # membership matrices would exceed the memory cap (mega
+            # blocks / unbounded real-corpus block vocabularies).
+            use_mm = (
+                n_a * W <= _MM_CAP and max(n_a, W) * v <= _MM_CAP
+            )
+            if use_mm:
+                if cross:
+                    A = np.zeros((n_a, v), dtype=np.float32)
+                    A[rk[~t_isj], v_inv[~t_isj]] = 1.0
+                    Bm = np.zeros((W, v), dtype=np.float32)
+                    Bm[rk[t_isj], v_inv[t_isj]] = 1.0
+                    C = A @ Bm.T
+                    ra, rb = np.nonzero(C)
                 else:
-                    ucode, cnt = np.unique(code, return_counts=True)
-                    code_parts.append(ucode)
-                    cnt_parts.append(cnt.astype(np.int64))
-            if use_bins:
-                nz = np.flatnonzero(bins)
-                if not len(nz):
+                    A = np.zeros((n_a, v), dtype=np.float32)
+                    A[rk, v_inv] = 1.0
+                    C = A @ A.T
+                    ra, rb = np.nonzero(C)
+                    up = ra < rb
+                    ra, rb = ra[up], rb[up]
+                if not len(ra):
                     continue
-                ucode, c = nz, bins[nz]
+                c = C[ra, rb].astype(np.int64)
             else:
-                codes = np.concatenate(code_parts)
-                cnts = np.concatenate(cnt_parts)
-                o2 = np.argsort(codes, kind="stable")
-                codes, cnts = codes[o2], cnts[o2]
-                st = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
-                ucode, c = codes[st], np.add.reduceat(cnts, st)
-            ra, rb = ucode // W, ucode % W
+                nbins = n_a * W
+                use_bins = nbins <= _BIN_CAP
+                bins = np.zeros(nbins, dtype=np.int64) if use_bins else None
+                code_parts, cnt_parts = [], []
+                # chunked enumeration bounds within the tile
+                t_cum = cum[t0:t1] - offs_all[t0]
+                n_chunks = max(1, -(-total_t // _PAIR_CHUNK))
+                cuts = np.searchsorted(
+                    t_cum, np.arange(1, n_chunks) * _PAIR_CHUNK, side="left"
+                ) + 1
+                bnds = np.unique(np.r_[0, cuts, t1 - t0])
+                for lo, hi in zip(bnds[:-1], bnds[1:]):
+                    reps_c = t_reps[lo:hi]
+                    m = int(reps_c.sum())
+                    if not m:
+                        continue
+                    a_loc = np.repeat(np.arange(lo, hi), reps_c)
+                    b_loc = (
+                        np.arange(m)
+                        - (offs_all[t0 + a_loc] - offs_all[t0 + lo])
+                        + base[t0 + a_loc]
+                    ) - t0
+                    code = rk[a_loc] * W + rk[b_loc]
+                    if use_bins:
+                        bins += np.bincount(code, minlength=nbins)
+                    else:
+                        ucode, cnt = np.unique(code, return_counts=True)
+                        code_parts.append(ucode)
+                        cnt_parts.append(cnt.astype(np.int64))
+                if use_bins:
+                    nz = np.flatnonzero(bins)
+                    if not len(nz):
+                        continue
+                    ucode, c = nz, bins[nz]
+                else:
+                    if not code_parts:
+                        continue
+                    codes = np.concatenate(code_parts)
+                    cnts = np.concatenate(cnt_parts)
+                    o2 = np.argsort(codes, kind="stable")
+                    codes, cnts = codes[o2], cnts[o2]
+                    st = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+                    ucode, c = codes[st], np.add.reduceat(cnts, st)
+                ra, rb = ucode // W, ucode % W
             s = sz_of_a[ra] + sz_of_b[rb]
             # conservative pre-filter (see _PRE_MIN above): identical
             # IEEE division to the JVM's, keeping a provable superset of

@@ -72,6 +72,38 @@ def test_ngram_tile_kernel_counts_hot_block_exactly(spark):
     assert pairs == expect, (len(pairs), len(expect))
 
 
+def test_ngram_counting_paths_agree(spark):
+    """The three counting strategies (BLAS matmul / bincount / chunked
+    sort-unique) must produce identical rows on the same input — the
+    fallbacks are the mega-block 100 TB path and only the caps choose
+    between them."""
+    from onnxocr_ray_spark.operators import dedup
+
+    n = 30
+    rows = []
+    for i in range(n):
+        for sh_v in ("common x", f"own {i}", "semi y" if i % 3 == 0 else f"o2 {i}"):
+            rows.append((i, "en", 5, 3, sh_v))
+    ex = spark.createDataFrame(
+        rows, "doc_id long, lang string, blk int, sz int, sh string"
+    )
+
+    def run():
+        out = dedup._ngram_block_pair_counts(ex).collect()
+        return sorted((r.id_a, r.id_b, r.s, r.c) for r in out)
+
+    mm_cap, bin_cap = dedup._NGRAM_MM_CAP, dedup._NGRAM_BIN_CAP
+    try:
+        ref = run()                       # matmul path
+        assert ref, "degenerate fixture"
+        dedup._NGRAM_MM_CAP = 0           # force bincount path
+        assert run() == ref
+        dedup._NGRAM_BIN_CAP = 0          # force chunked sort-unique path
+        assert run() == ref
+    finally:
+        dedup._NGRAM_MM_CAP, dedup._NGRAM_BIN_CAP = mm_cap, bin_cap
+
+
 def test_cluster_cos_kernel_matches_interpreted_cosine(spark):
     """The exact re-evaluation must be bit-identical to cosine_sim for
     vectors engineered to produce rounding-sensitive sums."""
