@@ -128,12 +128,18 @@ def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale story: candidates come from the deterministic sign-LSH bucket
-    # (same hyperplane-sign pattern as ann_lsh_bucket), so the self-join
+    # (same hyperplane-sign pattern as ann_lsh_bucket), so the blocking
     # key is (bucket, label) — ~2^bits x labels blocks instead of the
     # round-1 label-only blocking whose candidate count was ~n^2/5. Only
     # bucket collisions pay the 64-dim cosine verify; bits scale with
     # corpus size (6 here, more at 10^12 docs). The oracle computes the
     # identical blocking, so rows match exactly.
+    # r6: the per-pair verify runs in the shared cluster-cosine kernel
+    # (BLAS prescreen + bit-exact re-evaluation, see
+    # _cluster_cos_candidates) instead of an interpreted cosine fold on
+    # every self-join row; the block key rides as one injective string
+    # (bucket is fixed-width, so the concat cannot collide across
+    # blocks) and the exact rounded threshold stays in the JVM.
     e = _vecs(spark, sf_dir)
     bucket = F.array_join(
         F.transform(
@@ -143,28 +149,22 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "",
     )
     eb = e.select("vec_id", "label", "v", bucket.alias("bucket"))
-    a = eb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label"),
-        F.col("bucket"),
-        F.col("v").alias("va"),
+    member = eb.select(
+        "vec_id",
+        F.concat(F.col("bucket"), F.lit("|"), F.col("label")).alias("cid"),
+        "v",
     )
-    b = eb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
-        F.col("bucket").alias("bucket_b"),
-        F.col("v").alias("vb"),
-    )
-    cos = F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+    cands = _cluster_cos_candidates(member, tau=0.3)
+    labels = eb.select(F.col("vec_id").alias("id_a"), "label")
     return (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("label") == F.col("label_b"))
-            & (F.col("id_a") < F.col("id_b")),
+        cands.filter(F.round(F.col("cos"), 6) >= 0.3)
+        .select(
+            F.col("ib").alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            F.round(F.col("cos"), 6).alias("cos"),
         )
-        .select("id_a", "id_b", "label", cos.alias("cos"))
-        .filter(F.col("cos") >= 0.3)
+        .join(F.broadcast(labels), "id_a")
+        .select("id_a", "id_b", "label", "cos")
     )
 
 
@@ -724,10 +724,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cluster_cos_candidates(member: DataFrame) -> DataFrame:
+def _cluster_cos_candidates(member: DataFrame, tau: float = _SEMDEDUP_TAU) -> DataFrame:
     """(vec_id, ib, cos) for in-cluster pairs with ``ib < vec_id`` whose
-    cosine can reach the SemDeDup threshold — a conservative superset,
-    with ``cos`` BIT-IDENTICAL to ``functions.cosine_sim``.
+    cosine can reach ``tau`` — a conservative superset, with ``cos``
+    BIT-IDENTICAL to ``functions.cosine_sim``. The blocking column
+    ``cid`` may be any equality-comparable type (dictionary-encoded in
+    the kernel); SemDeDup blocks on the IVF cluster id, the embedding
+    near-dup pairs on the (sign-bucket, label) block key.
 
     Per task (one shuffle on cid): each cluster's vectors form a
     row-sorted (by vec_id) float64 matrix. A BLAS ``block @ V.T``
@@ -766,7 +769,10 @@ def _cluster_cos_candidates(member: DataFrame) -> DataFrame:
         if not n:
             return
         ids = tbl.column("vec_id").combine_chunks().to_numpy()
-        cids = tbl.column("cid").combine_chunks().to_numpy()
+        cids = (
+            tbl.column("cid").combine_chunks()
+            .dictionary_encode().indices.to_numpy()
+        )
         v_arr = tbl.column("v").combine_chunks()
         dim = len(v_arr[0])
         flat = v_arr.flatten().to_numpy()
@@ -790,7 +796,7 @@ def _cluster_cos_candidates(member: DataFrame) -> DataFrame:
             for b0 in range(0, m, _BLK):
                 b1 = min(b0 + _BLK, m)
                 R = (V[b0:b1] @ V.T) / (sn[b0:b1, None] * sn[None, :])
-                jj, ii = np.nonzero(R >= _SEMDEDUP_TAU - _MARGIN)
+                jj, ii = np.nonzero(R >= tau - _MARGIN)
                 jj = jj + b0
                 keep = ii < jj          # partner must have the LOWER id
                 jj, ii = jj[keep], ii[keep]

@@ -187,13 +187,17 @@ def test_asof_has_no_join(spark, queries):
 
 
 def test_embed_cosine_joins_on_lsh_bucket(spark, queries):
-    # candidates must come from the sign-LSH bucket equi-join, not an
-    # all-pairs product within label blocks
+    # candidates must come from the sign-LSH (bucket, label) blocking,
+    # not an all-pairs product within label blocks. r6: the pairwise
+    # verify runs in the shared cluster-cosine arrow kernel behind one
+    # exchange on the block key (cid = bucket||'|'||label); assert that
+    # exchange + kernel shape and that no corpus-wide loop join exists.
     plan = plan_of(queries["dedup_embed_cosine"].fn(spark, SF0001))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    join_lines = [l for l in plan.splitlines() if "Join" in l and "bucket" in l]
-    assert join_lines, plan
+    assert "hashpartitioning(cid" in plan, plan
+    assert "MapInArrow" in plan, plan
+    # the only broadcast is the tiny label attach on the result rows
+    assert "SortMergeJoin" not in plan
 
 
 def test_simhash_pairs_uses_banded_equijoin(spark, queries):
